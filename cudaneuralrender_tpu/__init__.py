@@ -1,0 +1,54 @@
+"""cudaneuralrender_tpu — a TPU-native differentiable neural-implicit renderer.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+daviesthomas/cudaNeuralRender (a CUDA sphere-tracing renderer for MLP-encoded
+SDFs): load Keras-HDF5 SDF networks, sphere-trace them on the MXU with dense
+masked marching (or a fused Pallas megakernel), shade with facing-ratio or
+matcap, compose with analytic CSG — plus everything the CUDA original lacks:
+end-to-end differentiability (pixel loss -> weight gradients), multi-chip
+sharding via jax.sharding, multi-geometry batching, and training.
+
+Quick start::
+
+    import cudaneuralrender_tpu as cnr
+
+    params = cnr.load("neuralGeometries/plane_1.h5")
+    cfg = cnr.RenderConfig(width=512, height=512)
+    renderer = cnr.Renderer(params, cfg)
+    img = renderer.render_frame(cnr.Camera.from_cli(ry=45.0))
+"""
+
+__version__ = "0.1.0"
+
+from .models import mlp
+from .models.checkpoint import load, load_keras_h5, load_pytree, save_pytree
+from .models.mlp import DenseParams, MLPParams, init_mlp
+from .ops import camera, compaction, march, sdf, shading
+from .ops.camera import Camera
+from .render.renderer import Renderer, neural_sdf_fn, render_image, render_staged, scene_fn
+from .utils import image_io
+from .utils.config import RenderConfig
+
+__all__ = [
+    "Camera",
+    "DenseParams",
+    "MLPParams",
+    "RenderConfig",
+    "Renderer",
+    "camera",
+    "compaction",
+    "image_io",
+    "init_mlp",
+    "load",
+    "load_keras_h5",
+    "load_pytree",
+    "march",
+    "mlp",
+    "neural_sdf_fn",
+    "render_image",
+    "render_staged",
+    "save_pytree",
+    "scene_fn",
+    "sdf",
+    "shading",
+]

@@ -1,0 +1,89 @@
+"""Losses for inverse rendering and SDF distillation."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import mlp
+from ..models.mlp import MLPParams
+from ..ops import camera as camera_lib
+from ..ops import march
+from ..ops.camera import Camera
+from ..render.renderer import scene_fn
+from ..utils.config import RenderConfig
+from .implicit import render_image_diff
+
+
+def pixel_loss(
+    params: MLPParams,
+    camera: Camera,
+    config: RenderConfig,
+    target: jax.Array,
+    matcap: Optional[jax.Array] = None,
+    frame: jax.Array | float = 0.0,
+) -> jax.Array:
+    """L2 pixel loss of a differentiable render vs a target [H, W, 4] image
+    (BASELINE config 4: pixel-loss backprop to MLP weights)."""
+    img = render_image_diff(params, camera, config, matcap, frame)
+    return jnp.mean((img - target) ** 2)
+
+
+def silhouette_loss(
+    params: MLPParams,
+    camera: Camera,
+    config: RenderConfig,
+    target_mask: jax.Array,
+    sharpness: float = 50.0,
+) -> jax.Array:
+    """Soft-mask loss giving gradients to *non-hit* rays.
+
+    The implicit pixel gradient only exists where rays converge; silhouette
+    supervision needs a signal on misses too. Standard trick: the minimum SDF
+    value along each ray (sampled at fixed depths) squashed through a sigmoid
+    approximates hit probability; BCE against the target mask moves the
+    surface toward/away from uncovered/covered pixels.
+    """
+    cam_to_world, _ = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    f = scene_fn(params, config, 0.0)
+
+    tnear, tfar, hit = march.intersect_sphere(
+        origin, dirs, config.bound_center, config.bound_radius
+    )
+    tnear = jnp.maximum(tnear, 0.0)
+    n_samples = 64
+    alphas = jnp.linspace(0.0, 1.0, n_samples)
+    ts = tnear[:, None] + (tfar - tnear)[:, None] * alphas[None, :]  # [N, S]
+    pts = origin + dirs[:, None, :] * ts[..., None]  # [N, S, 3]
+    d = f(pts.reshape(-1, 3)).reshape(ts.shape)  # [N, S]
+    min_d = jnp.min(jnp.where(hit[:, None], d, jnp.inf), axis=-1)
+    min_d = jnp.where(hit, min_d, 1.0)
+
+    p_hit = jax.nn.sigmoid(-sharpness * min_d)  # inside/near -> 1
+    tgt = target_mask.reshape(-1).astype(jnp.float32)
+    eps = 1e-6
+    bce = -(tgt * jnp.log(p_hit + eps) + (1 - tgt) * jnp.log(1 - p_hit + eps))
+    return jnp.mean(bce)
+
+
+def sdf_distillation_loss(params: MLPParams, points: jax.Array, target_d: jax.Array) -> jax.Array:
+    """MSE on raw SDF logits at sample points (teacher-student distillation /
+    fitting an analytic SDF)."""
+    pred = mlp.apply_scalar(params, points)
+    return jnp.mean((pred - target_d) ** 2)
+
+
+def eikonal_loss(params: MLPParams, points: jax.Array) -> jax.Array:
+    """|grad f| = 1 regularizer — keeps the learned field a metric SDF so
+    sphere tracing steps are valid."""
+
+    def scalar(p):
+        return jnp.reshape(mlp.apply_scalar(params, p[None, :]), ())
+
+    g = jax.vmap(jax.grad(scalar))(points)
+    norms = jnp.linalg.norm(g, axis=-1)
+    return jnp.mean((norms - 1.0) ** 2)

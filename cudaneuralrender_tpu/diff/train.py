@@ -1,0 +1,98 @@
+"""Training: optimizer steps for inverse rendering and SDF fitting.
+
+The reference has no training of any kind (SURVEY.md §0); this module plus
+diff/ makes the renderer a trainable system: fit MLP weights to rendered
+pixel targets (inverse rendering), distill analytic/teacher SDFs, or
+fine-tune a loaded Keras geometry.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.mlp import MLPParams
+from ..ops.camera import Camera
+from ..utils.config import RenderConfig
+from . import losses
+
+
+class TrainState(NamedTuple):
+    params: MLPParams
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def init_train_state(params: MLPParams, lr: float = 1e-3) -> TrainState:
+    opt = make_optimizer(lr)
+    return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "lr"))
+def pixel_train_step(
+    state: TrainState,
+    camera: Camera,
+    target: jax.Array,
+    config: RenderConfig,
+    lr: float = 1e-3,
+) -> Tuple[TrainState, jax.Array]:
+    """One inverse-rendering step: d(pixel L2)/d(weights) via the implicit
+    surface gradient, adam update."""
+    loss, grads = jax.value_and_grad(losses.pixel_loss)(
+        state.params, camera, config, target
+    )
+    opt = make_optimizer(lr)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+@functools.partial(jax.jit, static_argnames=("lr", "eikonal_weight"))
+def sdf_train_step(
+    state: TrainState,
+    points: jax.Array,
+    target_d: jax.Array,
+    lr: float = 1e-3,
+    eikonal_weight: float = 0.0,
+) -> Tuple[TrainState, jax.Array]:
+    """One SDF-regression step (distillation / analytic fitting)."""
+
+    def total(params):
+        l = losses.sdf_distillation_loss(params, points, target_d)
+        if eikonal_weight:
+            l = l + eikonal_weight * losses.eikonal_loss(params, points)
+        return l
+
+    loss, grads = jax.value_and_grad(total)(state.params)
+    opt = make_optimizer(lr)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def fit_sdf(
+    params: MLPParams,
+    sample_fn,
+    *,
+    steps: int = 200,
+    batch: int = 4096,
+    lr: float = 1e-3,
+    seed: int = 0,
+) -> Tuple[MLPParams, list]:
+    """Fit an MLP to a target field. sample_fn(key, n) -> (points [n,3], d [n])."""
+    state = init_train_state(params, lr)
+    key = jax.random.key(seed)
+    history = []
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        pts, d = sample_fn(sub, batch)
+        state, loss = sdf_train_step(state, pts, d, lr)
+        history.append(float(loss))
+    return state.params, history

@@ -1,0 +1,71 @@
+"""Active-ray compaction utilities (static-shape, TPU-friendly).
+
+TPU-native analogue of the reference's per-step stream compaction
+(thrust::exclusive_scan + createBatch gather,
+src/volumeRender_kernel.cu:504-576). XLA requires static shapes, so instead
+of a dynamic batch size read back to the host every step (the reference's
+forced D2H sync at :562), compaction here is *staged*: the renderer runs K
+dense steps, reads the surviving-ray count once, picks a static capacity
+bucket, and gathers survivors into a dense prefix of that bucket. Capacity
+buckets are powers of two so recompilation happens O(log N) times total.
+
+Also fixes the reference's off-by-one (SURVEY.md §3.6.3: batch size read from
+the last element of an *exclusive* scan undercounts when the final pixel is
+active) — counts here are exact by construction.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def capacity_bucket(count: int, minimum: int = 256) -> int:
+    """Smallest power-of-two >= count (>= minimum). Static Python int."""
+    cap = max(int(minimum), 1)
+    while cap < count:
+        cap *= 2
+    return cap
+
+
+def compact_indices(mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """Indices of True lanes packed into a dense [capacity] prefix.
+
+    Returns (indices [capacity] int32, valid [capacity] bool). Lanes beyond
+    the true count point at slot 0 with valid=False (gathers are harmless,
+    scatters masked). The packing is an exclusive cumsum scatter — the same
+    scan the reference runs with thrust (volumeRender_kernel.cu:553-563), as
+    one fused XLA op.
+    """
+    n = mask.shape[0]
+    mask_i = mask.astype(jnp.int32)
+    slots = jnp.cumsum(mask_i) - mask_i  # exclusive scan: slot per active lane
+    count = jnp.sum(mask_i)
+
+    src = jnp.arange(n, dtype=jnp.int32)
+    # Scatter each active lane's index into its slot; inactive (or overflow,
+    # when count > capacity) lanes write to a dump slot that is dropped.
+    dest = jnp.where(mask & (slots < capacity), slots, capacity)
+    indices = jnp.zeros((capacity + 1,), jnp.int32).at[dest].set(src)[:capacity]
+
+    valid = jnp.arange(capacity) < count
+    return indices, valid
+
+
+def gather_state(tree, indices: jax.Array):
+    """Gather leading-axis slices of every leaf in a pytree of [N, ...] arrays."""
+    return jax.tree_util.tree_map(lambda a: a[indices], tree)
+
+
+def scatter_state(full_tree, compact_tree, indices: jax.Array, valid: jax.Array):
+    """Scatter compacted leaves back into the full-size pytree (valid lanes only)."""
+
+    def put(full, comp):
+        # Invalid lanes scatter to index n (out of bounds) — JAX drops
+        # out-of-bounds scatter updates, so they cannot clobber live lanes.
+        dump = jnp.asarray(full.shape[0], jnp.int32)
+        safe = jnp.where(valid, indices, dump)
+        return full.at[safe].set(comp, mode="drop")
+
+    return jax.tree_util.tree_map(put, full_tree, compact_tree)

@@ -1,0 +1,208 @@
+"""Sphere tracing (ray marching) through an SDF — the render hot path.
+
+TPU-native re-design of the reference's march machinery
+(src/volumeRender_kernel.cu:293-477 kernels + :608-692 host loop). The
+reference's architecture — per-step stream compaction (thrust scan,
+:549-576), gather into a dense batch (:504-547), batched CUTLASS GEMMs, a
+device->host batch-size sync every step (:562) — exists because divergent
+per-pixel marching wastes a GPU. On TPU the idiomatic form is a **dense,
+masked, batched march under one jit**:
+
+  * the whole image's sample points form one [N, 3] array fed to MXU matmuls,
+  * the march loop is a single ``lax.while_loop`` (zero host syncs; the
+    reference pays one D2H sync per step),
+  * lane masking replaces compaction: at a 32-wide MLP the per-ray cost is so
+    small that gather/scatter traffic costs more than the wasted lanes —
+    measured tradeoff, see benchmarks/.
+
+For long tails (few active rays, many steps) there is a staged-compaction
+variant (``march_stage`` + ops/compaction.py) that re-packs active rays into
+a smaller dense batch every K steps — the reference's compaction amortized
+over stages rather than paid every step — and the Pallas megakernel path
+(pallas/megakernel.py) that keeps state in VMEM with per-tile early exit.
+
+March-step semantics are ordered exactly like singleMarch
+(volumeRender_kernel.cu:459-476):
+  1. dist = sdf(point)
+  2. budget -= dist; if budget <= 0 -> miss (ray never moves this step)
+  3. point += dir * dist
+  4. if dist < eps -> converged
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sdf import SdfFn
+
+
+class MarchState(NamedTuple):
+    """Per-ray march state (flat [N] arrays; points are recomputed as
+    origin + dir * t each step instead of stored, trading a few flops for a
+    3x smaller loop-carried state than the reference's d_points buffer)."""
+
+    t: jax.Array          # [N] distance traveled along ray (from origin)
+    budget: jax.Array     # [N] remaining march budget (reference d_tfar)
+    active: jax.Array     # [N] bool: still marching
+    converged: jax.Array  # [N] bool: hit surface
+    steps: jax.Array      # [] int32: iterations executed
+
+
+class MarchResult(NamedTuple):
+    t: jax.Array          # [N] ray parameter of the final point
+    hit: jax.Array        # [N] bool: converged on the surface
+    steps: jax.Array      # [] int32 steps taken by the loop
+    active: jax.Array     # [N] bool: unresolved at loop exit (budget left but
+                          #     max_steps reached) -> background, like the
+                          #     reference's unconverged-ray TODO (:690)
+
+
+def intersect_sphere(
+    origin: jax.Array, dirs: jax.Array, center, radius: float
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Analytic ray/sphere intersection (reference intersectSphere,
+    volumeRender_kernel.cu:200-215). origin [3] or [N,3]; dirs [N,3].
+    Returns (tnear [N], tfar [N], hit [N] bool). hit requires discriminant > 0
+    (grazing rays excluded, same as the reference)."""
+    center = jnp.asarray(center, dirs.dtype)
+    q = origin - center  # broadcasts
+    a = jnp.sum(dirs * dirs, axis=-1)
+    b = 2.0 * jnp.sum(q * dirs, axis=-1)
+    c = jnp.sum(q * q, axis=-1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    hit = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tnear = (-b - sq) / (2.0 * a)
+    tfar = (-b + sq) / (2.0 * a)
+    return tnear, tfar, hit
+
+
+def init_state(
+    origin: jax.Array,
+    dirs: jax.Array,
+    bound_center,
+    bound_radius: float,
+) -> MarchState:
+    """Per-ray init: bounding-sphere cull + starting point at the sphere's
+    near intersection (reference initMarcher, volumeRender_kernel.cu:293-358).
+    Rays that miss the bounding sphere start inactive (background)."""
+    tnear, tfar, hit = intersect_sphere(origin, dirs, bound_center, bound_radius)
+    tnear = jnp.maximum(tnear, 0.0)  # clamp to near plane (:342)
+    # Reference stores tfar (distance from *origin* to far intersection) as
+    # the budget and starts the ray at tnear — the budget is deliberately
+    # generous by tnear (:344-354); kept for parity.
+    return MarchState(
+        t=jnp.where(hit, tnear, 0.0),
+        budget=jnp.where(hit, tfar, 0.0),
+        active=hit,
+        converged=jnp.zeros_like(hit),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+
+def march_step(sdf_fn: SdfFn, origin: jax.Array, dirs: jax.Array, s: MarchState, march_eps: float) -> MarchState:
+    """One dense masked sphere-trace step over all rays (semantics of
+    singleMarch, volumeRender_kernel.cu:459-476 — see module docstring)."""
+    pts = origin + dirs * s.t[:, None]
+    dist = sdf_fn(pts)
+
+    budget = s.budget - jnp.where(s.active, dist, 0.0)
+    miss = s.active & (budget <= 0.0)
+    moved = s.active & ~miss
+
+    t = jnp.where(moved, s.t + dist, s.t)
+    conv_now = moved & (dist < march_eps)
+
+    return MarchState(
+        t=t,
+        budget=budget,
+        active=moved & ~conv_now,
+        converged=s.converged | conv_now,
+        steps=s.steps + 1,
+    )
+
+
+def sphere_trace(
+    sdf_fn: SdfFn,
+    origin: jax.Array,
+    dirs: jax.Array,
+    *,
+    max_steps: int = 6000,
+    march_eps: float = 1e-6,
+    bound_center=(0.0, 0.0, 0.0),
+    bound_radius: float = 1.2,
+) -> MarchResult:
+    """Dense masked sphere trace with ``lax.while_loop`` — exits the moment
+    every ray is resolved. Inference path (not reverse-differentiable; use
+    sphere_trace_unrolled or diff/implicit.py for gradients)."""
+    state = init_state(origin, dirs, bound_center, bound_radius)
+
+    def cond(s: MarchState):
+        return (s.steps < max_steps) & jnp.any(s.active)
+
+    def body(s: MarchState):
+        return march_step(sdf_fn, origin, dirs, s, march_eps)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return MarchResult(t=final.t, hit=final.converged, steps=final.steps, active=final.active)
+
+
+def sphere_trace_unrolled(
+    sdf_fn: SdfFn,
+    origin: jax.Array,
+    dirs: jax.Array,
+    *,
+    num_steps: int,
+    march_eps: float = 1e-6,
+    bound_center=(0.0, 0.0, 0.0),
+    bound_radius: float = 1.2,
+    remat: bool = True,
+) -> MarchResult:
+    """Fixed-length march via ``lax.scan`` — reverse-differentiable.
+
+    Gradients flow through every step's SDF evaluation (the straightforward
+    unrolled estimator; diff/implicit.py provides the O(1)-memory
+    implicit-function alternative). ``remat`` checkpoints each step so the
+    backward pass recomputes activations instead of storing all N*steps
+    intermediates.
+    """
+    state = init_state(origin, dirs, bound_center, bound_radius)
+
+    def body(s: MarchState, _):
+        return march_step(sdf_fn, origin, dirs, s, march_eps), None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    final, _ = jax.lax.scan(body, state, None, length=num_steps)
+    return MarchResult(t=final.t, hit=final.converged, steps=final.steps, active=final.active)
+
+
+def march_stage(
+    sdf_fn: SdfFn,
+    origin: jax.Array,
+    dirs: jax.Array,
+    state: MarchState,
+    *,
+    num_steps: int,
+    max_steps: int,
+    march_eps: float,
+) -> MarchState:
+    """Advance an existing state by up to ``num_steps`` (bounded while loop).
+
+    Building block for the staged-compaction renderer: run a stage densely,
+    then re-pack the survivors (ops/compaction.py) and continue on a smaller
+    batch — the TPU analogue of the reference's thrust-scan compaction
+    (volumeRender_kernel.cu:549-576) without a per-step host sync.
+    """
+    start = state.steps
+
+    def cond(s: MarchState):
+        return (s.steps < max_steps) & (s.steps - start < num_steps) & jnp.any(s.active)
+
+    def body(s: MarchState):
+        return march_step(sdf_fn, origin, dirs, s, march_eps)
+
+    return jax.lax.while_loop(cond, body, state)

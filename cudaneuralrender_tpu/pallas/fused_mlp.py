@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: the whole dense MLP chain fused into one kernel.
+
+TPU-native replacement for the reference's per-layer CUTLASS GEMM launches
+(src/layers/denseLayer.cu:126-176 — 9 kernel launches and 8 HBM activation
+round-trips per inference step). Here the full chain runs inside a single
+``pallas_call``: weights stay resident in VMEM (a 9-layer 32-wide MLP is
+~36 KB — nothing), activations never leave VMEM, and the grid pipelines ray
+tiles through the MXU.
+
+Layout: activations are kept TRANSPOSED as [features, tile] — features on
+sublanes, rays on lanes — so the 128-wide lane dimension is fully occupied by
+rays at any hidden width, and each layer is one
+``dot_general((in, out)^T contraction)`` on the MXU followed by a fused
+bias+ReLU on the VPU.
+
+Weights are pre-padded to a uniform [L, H, H] stack (H = max layer width,
+zero-padded), which makes the layer loop a static ``fori``-style unroll with
+identical shapes — no dynamic shapes, no per-layer recompilation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.mlp import MLPParams
+
+
+def pack_params(params: MLPParams, pad_width: int | None = None) -> Tuple[jax.Array, jax.Array, int, int]:
+    """Pad an MLP pytree to a uniform [L, H, H] weight stack + [L, H] biases.
+
+    Returns (weights, biases, n_in, hidden). Zero padding is exact: padded
+    input features are zero, so W rows beyond n_in contribute nothing; padded
+    output columns produce junk lanes that the next layer's zero W rows ignore
+    (and the head reads only row 0). Pure-jnp so it can run under jit (traced
+    params).
+    """
+    sizes = [int(params[0].w.shape[0])] + [int(l.w.shape[1]) for l in params]
+    h = pad_width or max(sizes)
+    L = len(params)
+    w_layers = []
+    b_layers = []
+    for layer in params:
+        n_in_l, n_out_l = layer.w.shape
+        wi = jnp.zeros((h, h), jnp.float32).at[:n_in_l, :n_out_l].set(
+            layer.w.astype(jnp.float32)
+        )
+        bi = jnp.zeros((h,), jnp.float32).at[:n_out_l].set(layer.b.astype(jnp.float32))
+        w_layers.append(wi)
+        b_layers.append(bi)
+    return jnp.stack(w_layers), jnp.stack(b_layers), sizes[0], h
+
+
+def _mlp_chain(w_ref, b_ref, x, n_layers: int):
+    """Run the padded layer chain on transposed activations x [H, T].
+
+    precision=HIGHEST: bf16 MXU passes would inject ~1e-2 absolute error into
+    the SDF value, breaking eps=1e-6 sphere-trace convergence (see
+    models/mlp.py docstring for measurements).
+    """
+    for l in range(n_layers):
+        w = w_ref[l]  # [H_in, H_out]
+        # y[out, t] = sum_in w[in, out] * x[in, t]
+        y = jax.lax.dot_general(
+            w,
+            x,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        y = y + b_ref[l][:, None]
+        if l + 1 < n_layers:
+            y = jnp.maximum(y, 0.0)
+        x = y
+    return x
+
+
+def _fused_mlp_kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int):
+    x = x_ref[:]  # [H, T] transposed activations
+    y = _mlp_chain(w_ref, b_ref, x, n_layers)
+    out_ref[:] = y[0:1, :]  # head output lives in feature row 0
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def mlp_forward_pallas(
+    weights: jax.Array,
+    biases: jax.Array,
+    x: jax.Array,
+    *,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused forward pass. weights [L,H,H], biases [L,H] from pack_params;
+    x [B, n_in] points. Returns [B] raw logits (single-output head).
+
+    B is padded up to a tile multiple; the pad lanes compute junk that is
+    sliced off — branch-free, static shapes.
+    """
+    L, H, _ = weights.shape
+    B, n_in = x.shape
+    n_tiles = pl.cdiv(B, tile)
+    Bp = n_tiles * tile
+
+    # Transpose to [n_in, B] and zero-pad features to H and batch to Bp.
+    xt = jnp.zeros((H, Bp), jnp.float32)
+    xt = xt.at[:n_in, :B].set(x.T)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_kernel, n_layers=L),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((H, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases, whole
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xt, weights, biases)
+
+    return out[0, :B]
+
+
+def neural_sdf_fn_pallas(params: MLPParams, *, tile: int = 2048, interpret: bool = False):
+    """SdfFn backed by the fused kernel (drop-in for renderer.neural_sdf_fn
+    on the 3-input path)."""
+    weights, biases, n_in, _ = pack_params(params)
+
+    def fn(p: jax.Array) -> jax.Array:
+        flat = p.reshape(-1, p.shape[-1])
+        d = mlp_forward_pallas(weights, biases, flat, tile=tile, interpret=interpret)
+        return d.reshape(p.shape[:-1])
+
+    return fn

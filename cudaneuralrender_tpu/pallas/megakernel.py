@@ -1,0 +1,228 @@
+"""Pallas TPU megakernel: the ENTIRE sphere-trace march fused in one kernel.
+
+This is the TPU answer to the reference's hottest loop
+(render_kernel, src/volumeRender_kernel.cu:652-689): where the CUDA version
+launches `scan + gather + 9 GEMMs + march` kernels per step with a
+device->host sync each iteration, here the whole march for a tile of rays —
+point generation, the full MLP chain, and the step/converge/miss update —
+runs inside a single ``pallas_call``:
+
+  * MLP weights live in VMEM for the kernel's whole lifetime (~36 KB),
+  * ray state (t, budget, masks) lives in registers/VMEM, ZERO HBM traffic
+    per march step (the reference re-reads/writes points, masks, scan maps
+    and activations from HBM every step),
+  * each grid tile runs its own ``lax.while_loop`` with early exit — a tile
+    whose rays all converge stops immediately, which is the compaction
+    benefit (reference :549-576) at tile granularity with no gather at all,
+  * activations stay TRANSPOSED [features, rays]: the 128-lane axis is
+    always fully occupied by rays regardless of MLP width.
+
+Supported scenes: the pure neural field (raw / tanh) — CSG composite scenes
+march through the XLA path (render/renderer.py), which shares all semantics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.mlp import MLPParams
+from ..ops import camera as camera_lib
+from ..ops import march, shading
+from ..ops.camera import Camera
+from ..utils.config import RenderConfig
+from .fused_mlp import _mlp_chain, pack_params
+
+
+def _march_megakernel(
+    dirs_ref,      # [3, T] ray directions (transposed)
+    t0_ref,        # [1, T] starting ray parameter
+    budget0_ref,   # [1, T] march budget (tfar)
+    active0_ref,   # [1, T] float mask: 1 = march this ray
+    origin_ref,    # [3, 1] shared eye origin
+    frame_ref,     # [1, 1] animation frame number
+    w_ref,         # [L, H, H] packed weights
+    b_ref,         # [L, H] packed biases
+    t_out,         # [1, T]
+    conv_out,      # [1, T] float mask
+    *,
+    n_layers: int,
+    hidden: int,
+    n_inputs: int,
+    max_steps: int,
+    march_eps: float,
+    use_tanh: bool,
+):
+    dirs = dirs_ref[:]
+    origin = origin_ref[:]
+    T = dirs.shape[1]
+
+    def sdf(t):
+        pts = origin + dirs * t  # [3, T]
+        rows = [pts]
+        if n_inputs == 4:
+            rows.append(jnp.broadcast_to(frame_ref[0, 0], (1, T)))
+        pad = hidden - n_inputs
+        if pad:
+            rows.append(jnp.zeros((pad, T), jnp.float32))
+        x = jnp.concatenate(rows, axis=0)  # [H, T]
+        d = _mlp_chain(w_ref, b_ref, x, n_layers)[0:1, :]  # [1, T]
+        if use_tanh:
+            d = jnp.tanh(d)
+        return d
+
+    def cond(carry):
+        step, t, budget, active, conv = carry
+        return (step < max_steps) & (jnp.sum(active) > 0.0)
+
+    def body(carry):
+        # Same update order as singleMarch (volumeRender_kernel.cu:459-476):
+        # budget check before the move, convergence after it.
+        step, t, budget, active, conv = carry
+        d = sdf(t)
+        budget = budget - jnp.where(active > 0, d, 0.0)
+        miss = (active > 0) & (budget <= 0.0)
+        moved = (active > 0) & ~miss
+        t = jnp.where(moved, t + d, t)
+        conv_now = moved & (d < march_eps)
+        active = (moved & ~conv_now).astype(jnp.float32)
+        conv = jnp.where(conv_now, 1.0, conv)
+        return step + 1, t, budget, active, conv
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        t0_ref[:],
+        budget0_ref[:],
+        active0_ref[:],
+        jnp.zeros_like(active0_ref[:]),
+    )
+    _, t, _, _, conv = jax.lax.while_loop(cond, body, init)
+    t_out[:] = t
+    conv_out[:] = conv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "tile", "interpret")
+)
+def march_pallas(
+    params: MLPParams,
+    origin: jax.Array,
+    dirs: jax.Array,
+    config: RenderConfig,
+    frame: jax.Array | float = 0.0,
+    *,
+    tile: int = 1024,
+    interpret: bool = False,
+):
+    """Run the megakernel over all rays. Returns (t [N], hit [N] bool)."""
+    n = dirs.shape[0]
+    n_tiles = pl.cdiv(n, tile)
+    n_pad = n_tiles * tile
+
+    weights, biases, n_in, hidden = pack_params(params)
+    use_tanh = config.scene == "neural_tanh"
+
+    state = march.init_state(origin, dirs, config.bound_center, config.bound_radius)
+
+    def pad_row(x, fill=0.0):
+        return jnp.full((1, n_pad), fill, jnp.float32).at[0, :n].set(x)
+
+    dirs_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(dirs.T)
+    t0 = pad_row(state.t)
+    budget0 = pad_row(state.budget)
+    active0 = pad_row(state.active.astype(jnp.float32))  # pad lanes inactive
+
+    kernel = functools.partial(
+        _march_megakernel,
+        n_layers=weights.shape[0],
+        hidden=hidden,
+        n_inputs=config.num_inputs,
+        max_steps=config.max_steps,
+        march_eps=config.march_eps,
+        use_tanh=use_tanh,
+    )
+
+    row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    t_arr, conv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            row_spec(),
+            row_spec(),
+            row_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # origin [3,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # frame [1,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
+        ],
+        out_specs=(row_spec(), row_spec()),
+        interpret=interpret,
+    )(
+        dirs_t,
+        t0,
+        budget0,
+        active0,
+        origin.reshape(3, 1).astype(jnp.float32),
+        jnp.reshape(jnp.asarray(frame, jnp.float32), (1, 1)),
+        weights,
+        biases,
+    )
+
+    return t_arr[0, :n], conv[0, :n] > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("config", "tile", "interpret"))
+def render_image_pallas(
+    params: MLPParams,
+    camera: Camera,
+    config: RenderConfig,
+    matcap: Optional[jax.Array] = None,
+    frame: jax.Array | float = 0.0,
+    *,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full render with the Pallas march + XLA shading epilogue.
+
+    Shading (normals via autodiff/FD, facing or matcap) runs once per pixel
+    in XLA — it is not march-rate critical and keeps dynamic gathers out of
+    the kernel (SURVEY.md §7 hard-parts note).
+    """
+    if config.scene not in ("neural_raw", "neural_tanh"):
+        raise ValueError(
+            f"pallas megakernel supports neural scenes only, got {config.scene!r}; "
+            "CSG scenes use render_image"
+        )
+    from ..render.renderer import scene_fn
+
+    cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    t, hit = march_pallas(
+        params, origin, dirs, config, frame, tile=tile, interpret=interpret
+    )
+
+    f = scene_fn(params, config, frame)
+    points = origin + dirs * t[:, None]
+    colors = shading.shade(
+        f,
+        points,
+        dirs,
+        mode=config.shading,
+        normal_mode=config.normal_mode,
+        normal_eps=config.normal_eps,
+        world_to_cam=world_to_cam,
+        matcap=matcap,
+    )
+    rgba = jnp.where(hit[:, None], colors, 0.0)
+    return rgba.reshape(config.height, config.width, 4)

@@ -1,0 +1,72 @@
+"""Batched multi-geometry rendering (BASELINE config 3).
+
+The reference renders one geometry per process; the MoE-analogue here
+(SURVEY.md §2.4 EP row) stacks same-architecture geometry MLPs into a single
+leading-axis pytree and vmaps the whole render across it — one compiled
+program renders every geometry simultaneously, and the stacked axis can be
+sharded over the ``model`` mesh axis for expert parallelism.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models import mlp
+from ..models.mlp import MLPParams
+from ..ops.camera import Camera
+from ..render.renderer import render_image
+from ..utils.config import RenderConfig
+
+
+def stack_params(params_list: Sequence[MLPParams]) -> MLPParams:
+    """Stack same-architecture MLPs along a new leading axis."""
+    sizes = {mlp.layer_sizes(p) for p in params_list}
+    if len(sizes) != 1:
+        raise ValueError(f"geometries have mismatched architectures: {sizes}")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def unstack_params(stacked: MLPParams, index: int) -> MLPParams:
+    return jax.tree_util.tree_map(lambda x: x[index], stacked)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_batch(
+    stacked_params: MLPParams,
+    camera: Camera,
+    config: RenderConfig,
+    matcap: Optional[jax.Array] = None,
+    frame: jax.Array | float = 0.0,
+) -> jax.Array:
+    """Render all stacked geometries from one camera: [G, H, W, 4]."""
+    return jax.vmap(
+        lambda p: render_image(p, camera, config, matcap, frame)
+    )(stacked_params)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_batch_cameras(
+    stacked_params: MLPParams,
+    cameras: Camera,
+    config: RenderConfig,
+    matcap: Optional[jax.Array] = None,
+    frame: jax.Array | float = 0.0,
+) -> jax.Array:
+    """Render geometry i from camera i (cameras = stacked Camera pytree)."""
+    return jax.vmap(
+        lambda p, c: render_image(p, c, config, matcap, frame)
+    )(stacked_params, cameras)
+
+
+def contact_sheet(images: jax.Array, cols: int = 0) -> jax.Array:
+    """Tile [G, H, W, 4] renders into one image for quick inspection."""
+    g, h, w, c = images.shape
+    cols = cols or int(jnp.ceil(jnp.sqrt(g)))
+    rows = -(-g // cols)
+    padded = jnp.zeros((rows * cols, h, w, c), images.dtype).at[:g].set(images)
+    return padded.reshape(rows, cols, h, w, c).transpose(0, 2, 1, 3, 4).reshape(
+        rows * h, cols * w, c
+    )

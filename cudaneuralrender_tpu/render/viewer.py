@@ -1,0 +1,151 @@
+"""Interactive browser viewer — the GLUT window replacement.
+
+The reference's interactive path is a GLUT window fed by CUDA-GL PBO interop
+with mouse-drag rotate/pan/zoom and keyboard shortcuts
+(src/main.cpp:130-205, 283-353, 480-519). TPU hosts have no GL stack, so the
+TPU-native equivalent is a zero-dependency HTTP viewer: a small stdlib
+``http.server`` that renders frames on demand and a canvas page with the same
+controls (left-drag rotate, wheel zoom, middle-drag pan, space = save frame,
+f = advance animation frame — matching main.cpp's bindings where they make
+sense in a browser).
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..ops.camera import Camera
+from ..utils import image_io
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>cudaneuralrender_tpu viewer</title>
+<style>
+ body { margin:0; background:#111; color:#ddd; font-family:monospace; }
+ #hud { position:fixed; top:8px; left:8px; background:#000a; padding:6px 10px; }
+ canvas { display:block; margin:auto; image-rendering:pixelated; }
+</style></head>
+<body>
+<div id="hud">drag=rotate wheel=zoom shift-drag=pan | <span id="stats"></span></div>
+<canvas id="c"></canvas>
+<script>
+let rx=%RX%, ry=%RY%, zoom=%ZOOM%, frame=0, busy=false, dirty=true;
+const c=document.getElementById('c'), ctx=c.getContext('2d');
+const stats=document.getElementById('stats');
+let drag=null;
+c.width=%W%; c.height=%H%;
+c.addEventListener('mousedown', e=>{drag=[e.clientX,e.clientY];});
+window.addEventListener('mouseup', ()=>{drag=null;});
+window.addEventListener('mousemove', e=>{
+  if(!drag) return;
+  const dx=e.clientX-drag[0], dy=e.clientY-drag[1];
+  drag=[e.clientX,e.clientY];
+  if(e.shiftKey){ /* pan reserved */ } else { ry+=dx*0.25; rx+=dy*0.25; }
+  dirty=true;
+});
+c.addEventListener('wheel', e=>{ zoom=Math.max(0.2, zoom+e.deltaY*0.002); dirty=true; e.preventDefault(); });
+window.addEventListener('keydown', e=>{
+  if(e.key===' '){ fetch(`/save?rx=${rx}&ry=${ry}&zoom=${zoom}&frame=${frame}`); }
+  if(e.key==='f'){ frame=(frame+1)%360; dirty=true; }
+  if(e.key==='q'){ console.log('camera', rx, ry, zoom); }
+});
+async function loop(){
+  if(dirty && !busy){
+    busy=true; dirty=false;
+    const t0=performance.now();
+    const r=await fetch(`/frame?rx=${rx}&ry=${ry}&zoom=${zoom}&frame=${frame}`);
+    const blob=await r.blob();
+    const img=await createImageBitmap(blob);
+    ctx.drawImageSmoothingEnabled=false;
+    ctx.drawImage(img,0,0);
+    stats.textContent=`${(performance.now()-t0).toFixed(0)} ms  rx=${rx.toFixed(1)} ry=${ry.toFixed(1)} z=${zoom.toFixed(2)} f=${frame}`;
+    busy=false;
+  }
+  requestAnimationFrame(loop);
+}
+loop();
+</script></body></html>
+"""
+
+
+def serve(renderer, camera: Camera = None, *, port: int = 8000, host: str = "127.0.0.1"):
+    """Start the viewer server (blocking). renderer: render.renderer.Renderer."""
+    camera = camera or Camera()
+    init_rx = float(np.asarray(camera.rotation_x))
+    init_ry = float(np.asarray(camera.rotation_y))
+    init_zoom = -float(np.asarray(camera.translation)[2])
+    cfg = renderer.config
+    save_count = [0]
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _render(self, q):
+            cam = Camera.from_cli(
+                rx=float(q.get("rx", [init_rx])[0]),
+                ry=float(q.get("ry", [init_ry])[0]),
+                zoom=float(q.get("zoom", [init_zoom])[0]),
+            )
+            frame = float(q.get("frame", [0])[0])
+            with lock:
+                return renderer.render_frame(cam, frame)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            if url.path == "/":
+                page = (
+                    _PAGE.replace("%W%", str(cfg.width))
+                    .replace("%H%", str(cfg.height))
+                    .replace("%RX%", str(init_rx))
+                    .replace("%RY%", str(init_ry))
+                    .replace("%ZOOM%", str(init_zoom))
+                )
+                body = page.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/frame":
+                img = self._render(q)
+                buf = io.BytesIO()
+                from PIL import Image
+
+                Image.fromarray(img).save(buf, "PNG")
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/save":
+                img = self._render(q)
+                path = f"viewer_frame_{save_count[0]}.png"
+                save_count[0] += 1
+                image_io.save_png(path, img)
+                body = json.dumps({"saved": path}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"viewer: http://{host}:{port}/  (ctrl-c to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()

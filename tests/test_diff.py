@@ -1,0 +1,170 @@
+"""Differentiable-rendering tests (BASELINE config 4: grad parity).
+
+Validates the implicit-function gradient against (a) the unrolled-march
+autodiff estimator and (b) finite differences of the pixel loss.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import cudaneuralrender_tpu as cnr
+from cudaneuralrender_tpu.diff import implicit, losses, train
+from cudaneuralrender_tpu.models import mlp
+from cudaneuralrender_tpu.ops import march, sdf
+
+
+def test_implicit_t_analytic_sphere_radius_grad():
+    """For f(p) = |p| - r along a center ray from distance 2: t*(r) = 2 - r,
+    so dt/dr must be -1 exactly."""
+    origin = jnp.array([0.0, 0.0, 2.0])
+    dirs = jnp.array([[0.0, 0.0, -1.0]])
+
+    def t_of_r(r):
+        f = lambda p: sdf.sphere(p, r)
+        res = march.sphere_trace(
+            lambda p: sdf.sphere(p, jax.lax.stop_gradient(r)), origin, dirs, max_steps=200
+        )
+        t = implicit.implicit_surface_t(f, origin, dirs, res.t)
+        return jnp.sum(t)
+
+    g = jax.grad(t_of_r)(0.9)
+    np.testing.assert_allclose(float(g), -1.0, atol=1e-4)
+
+
+def test_implicit_forward_value_newton_refines():
+    origin = jnp.array([0.0, 0.0, 2.0])
+    dirs = jnp.array([[0.0, 0.0, -1.0]])
+    f = lambda p: sdf.sphere(p, 0.9)
+    res = march.sphere_trace(f, origin, dirs, max_steps=200, march_eps=1e-4)
+    t = implicit.implicit_surface_t(f, origin, dirs, res.t)
+    # Newton step lands closer to the true root 1.1 than the raw march t.
+    assert abs(float(t[0]) - 1.1) <= abs(float(res.t[0]) - 1.1) + 1e-7
+    np.testing.assert_allclose(float(t[0]), 1.1, atol=1e-6)
+
+
+SMALL_CFG = cnr.RenderConfig(width=16, height=16, scene="neural_raw", max_steps=128)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    # small random SDF-ish network: init near a sphere via distillation
+    params = mlp.init_mlp(jax.random.key(3), sizes=(3, 16, 16, 1))
+
+    def sample(key, n):
+        pts = jax.random.uniform(key, (n, 3), minval=-1.2, maxval=1.2)
+        return pts, sdf.sphere(pts, 0.7)
+
+    params, hist = train.fit_sdf(params, sample, steps=300, batch=2048, lr=3e-3)
+    assert hist[-1] < 0.002, f"distillation failed: {hist[-1]}"
+    return params
+
+
+def test_render_image_diff_matches_forward(tiny_params):
+    """The differentiable render's forward value must match the inference
+    render (same march, Newton-refined t)."""
+    a = np.asarray(implicit.render_image_diff(tiny_params, cnr.Camera(), SMALL_CFG))
+    b = np.asarray(cnr.render_image(tiny_params, cnr.Camera(), SMALL_CFG))
+    same_hit = (a[..., 3] > 0) == (b[..., 3] > 0)
+    assert same_hit.mean() > 0.98
+    mask = (a[..., 3] > 0) & (b[..., 3] > 0)
+    diffs = np.abs(a[mask] - b[mask])
+    # Newton refinement can move a silhouette-grazing pixel noticeably; the
+    # bulk of the image must agree tightly.
+    assert np.percentile(diffs, 99) < 5e-2
+    assert diffs.mean() < 5e-3
+
+
+def test_grad_parity_implicit_vs_finite_difference(tiny_params):
+    """Implicit weight-gradient vs central finite differences — BASELINE
+    config 4's acceptance check.
+
+    FD across a *pixel loss* is contaminated by hit-mask flips at the
+    silhouette (the loss is discontinuous there), so parity is checked on the
+    smooth part: mean squared depth over pixels that stay hit — eroded away
+    from the silhouette — with a directional derivative along a random
+    parameter perturbation.
+    """
+    cam = cnr.Camera()
+    _, hit = implicit.render_depth_diff(tiny_params, cam, SMALL_CFG)
+    hit2d = np.asarray(hit).reshape(16, 16)
+    # erode: keep pixels whose 4-neighborhood is fully hit (stable interior)
+    stable = hit2d.copy()
+    stable[1:] &= hit2d[:-1]
+    stable[:-1] &= hit2d[1:]
+    stable[:, 1:] &= hit2d[:, :-1]
+    stable[:, :-1] &= hit2d[:, 1:]
+    stable_flat = jnp.asarray(stable.reshape(-1))
+    assert int(stable.sum()) > 10
+
+    def loss(params):
+        t, _ = implicit.render_depth_diff(params, cam, SMALL_CFG)
+        return jnp.sum(jnp.where(stable_flat, t**2, 0.0)) / stable.sum()
+
+    g = jax.grad(loss)(tiny_params)
+
+    # directional derivative along a random unit direction in param space
+    v = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(jax.random.key(11), x.shape), tiny_params
+    )
+    gv = sum(
+        float(jnp.vdot(ga.w, va.w)) + float(jnp.vdot(ga.b, va.b))
+        for ga, va in zip(g, v)
+    )
+    eps = 1e-4
+    plus = jax.tree_util.tree_map(lambda x, d: x + eps * d, tiny_params, v)
+    minus = jax.tree_util.tree_map(lambda x, d: x - eps * d, tiny_params, v)
+    fd = (float(loss(plus)) - float(loss(minus))) / (2 * eps)
+    assert gv == pytest.approx(fd, rel=0.05, abs=1e-5), f"directional: {gv} vs {fd}"
+
+
+def test_grad_parity_vs_unrolled(tiny_params):
+    """Implicit gradient direction agrees with the unrolled-march autodiff
+    gradient (cosine similarity of weight grads)."""
+    cam = cnr.Camera()
+    target = jnp.zeros((16, 16, 4))
+    cfg_unrolled = SMALL_CFG.replace(march_impl="fori", max_steps=96)
+
+    def loss_implicit(params):
+        return losses.pixel_loss(params, cam, SMALL_CFG, target)
+
+    def loss_unrolled(params):
+        img = cnr.render_image(params, cam, cfg_unrolled)
+        return jnp.mean((img - target) ** 2)
+
+    gi = jax.grad(loss_implicit)(tiny_params)
+    gu = jax.grad(loss_unrolled)(tiny_params)
+
+    flat_i = np.concatenate([np.asarray(g.w).ravel() for g in gi])
+    flat_u = np.concatenate([np.asarray(g.w).ravel() for g in gu])
+    cos = flat_i @ flat_u / (np.linalg.norm(flat_i) * np.linalg.norm(flat_u) + 1e-12)
+    assert cos > 0.9, f"cosine {cos}"
+
+
+def test_pixel_train_step_reduces_loss(tiny_params):
+    """Inverse rendering: a few adam steps on a target image must reduce loss."""
+    cam = cnr.Camera()
+    target = implicit.render_image_diff(tiny_params, cam, SMALL_CFG)
+    # perturb the params, then recover
+    noisy = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.key(7), x.shape), tiny_params
+    )
+    state = train.init_train_state(noisy, lr=1e-3)
+    losses_seq = []
+    for _ in range(25):
+        state, l = train.pixel_train_step(state, cam, target, SMALL_CFG, lr=1e-3)
+        losses_seq.append(float(l))
+    # adam on a discontinuous-at-silhouette objective oscillates; require the
+    # best iterate to improve substantially on the start.
+    assert min(losses_seq) < 0.85 * losses_seq[0], losses_seq
+
+
+def test_eikonal_and_silhouette_losses_finite(tiny_params):
+    pts = jax.random.uniform(jax.random.key(1), (256, 3), minval=-1, maxval=1)
+    e = float(losses.eikonal_loss(tiny_params, pts))
+    assert np.isfinite(e) and e >= 0
+    mask = jnp.zeros((16, 16), bool)
+    s = float(losses.silhouette_loss(tiny_params, cnr.Camera(), SMALL_CFG, mask))
+    assert np.isfinite(s)
+    g = jax.grad(lambda p: losses.silhouette_loss(p, cnr.Camera(), SMALL_CFG, mask))(tiny_params)
+    assert all(np.isfinite(np.asarray(x.w)).all() for x in g)

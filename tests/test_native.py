@@ -1,0 +1,72 @@
+"""Native C++ runtime tests (native/cnr_native.cpp via ctypes)."""
+import os
+
+import numpy as np
+import pytest
+
+from cudaneuralrender_tpu.native import codec
+
+
+pytestmark = pytest.mark.skipif(
+    not codec.available(), reason="native library not built (make -C native)"
+)
+
+
+def test_png_roundtrip_rgba(tmp_path, rng):
+    img = rng.integers(0, 256, size=(33, 47, 4), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    codec.encode_png(p, img)
+    np.testing.assert_array_equal(codec.decode_png(p), img)
+
+
+def test_png_roundtrip_rgb(tmp_path, rng):
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    codec.encode_png(p, img)
+    out = codec.decode_png(p)
+    np.testing.assert_array_equal(out[..., :3], img)
+    np.testing.assert_array_equal(out[..., 3], 255)
+
+
+def test_pil_interop(tmp_path, rng):
+    """Native-encoded PNGs must decode identically in PIL and vice versa."""
+    from PIL import Image
+
+    img = rng.integers(0, 256, size=(21, 17, 4), dtype=np.uint8)
+    p1 = str(tmp_path / "native.png")
+    codec.encode_png(p1, img)
+    np.testing.assert_array_equal(np.asarray(Image.open(p1).convert("RGBA")), img)
+
+    p2 = str(tmp_path / "pil.png")
+    Image.fromarray(img).save(p2)
+    np.testing.assert_array_equal(codec.decode_png(p2), img)
+
+
+def test_decode_reference_matcap():
+    path = "/root/reference/matcaps/Chrome.png"
+    if not os.path.exists(path):
+        pytest.skip("reference matcaps unavailable")
+    from PIL import Image
+
+    got = codec.decode_png(path)
+    want = np.asarray(Image.open(path).convert("RGBA"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_async_writer(tmp_path, rng):
+    frames = [rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8) for _ in range(12)]
+    with codec.AsyncFrameWriter(n_threads=3) as w:
+        for i, f in enumerate(frames):
+            w.enqueue(str(tmp_path / f"f{i:03d}.png"), f)
+        assert w.flush() == 0
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(codec.decode_png(str(tmp_path / f"f{i:03d}.png")), f)
+
+
+def test_image_io_prefers_native(tmp_path, rng):
+    from cudaneuralrender_tpu.utils import image_io
+
+    img = rng.integers(0, 256, size=(10, 10, 4), dtype=np.uint8)
+    p = str(tmp_path / "via_io.png")
+    image_io.save_png(p, img, use_native=True)
+    np.testing.assert_array_equal(image_io.load_png(p, use_native=True), img)

@@ -1,0 +1,107 @@
+"""Pallas kernel tests in interpreter mode (the kernel 'sanitizer' —
+SURVEY.md §5 race-detection row): fused-MLP and megakernel outputs must match
+the XLA reference path exactly."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import cudaneuralrender_tpu as cnr
+from cudaneuralrender_tpu.models import mlp
+from cudaneuralrender_tpu.pallas import fused_mlp, megakernel
+from cudaneuralrender_tpu.ops import camera as cam_lib
+from cudaneuralrender_tpu.ops import march
+
+
+def test_pack_params_roundtrip(plane1_params):
+    w, b, n_in, h = fused_mlp.pack_params(plane1_params)
+    assert w.shape == (9, 32, 32) and b.shape == (9, 32)
+    assert n_in == 3 and h == 32
+    np.testing.assert_array_equal(np.asarray(w[0, :3, :]), np.asarray(plane1_params[0].w))
+    np.testing.assert_array_equal(np.asarray(w[0, 3:, :]), 0.0)
+    np.testing.assert_array_equal(np.asarray(w[8, :, 0]), np.asarray(plane1_params[8].w[:, 0]))
+
+
+def test_fused_mlp_matches_xla(plane1_params, rng):
+    w, b, n_in, _ = fused_mlp.pack_params(plane1_params)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(300, 3)).astype(np.float32))
+    got = np.asarray(fused_mlp.mlp_forward_pallas(w, b, x, tile=128, interpret=True))
+    want = np.asarray(mlp.apply_scalar(plane1_params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_mlp_nonmultiple_batch(plane1_params, rng):
+    """Batch not a multiple of the tile: pad lanes must be sliced off."""
+    w, b, _, _ = fused_mlp.pack_params(plane1_params)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(130, 3)).astype(np.float32))
+    got = fused_mlp.mlp_forward_pallas(w, b, x, tile=128, interpret=True)
+    assert got.shape == (130,)
+    want = np.asarray(mlp.apply_scalar(plane1_params, x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_neural_sdf_fn_pallas_shape(plane1_params):
+    fn = fused_mlp.neural_sdf_fn_pallas(plane1_params, tile=128, interpret=True)
+    d = fn(jnp.zeros((4, 5, 3)))
+    assert d.shape == (4, 5)
+
+
+def test_megakernel_matches_xla_march(plane1_params):
+    cfg = cnr.RenderConfig(width=16, height=16, scene="neural_raw", max_steps=128)
+    c2w, _ = cam_lib.view_matrices(cnr.Camera())
+    origin, dirs = cam_lib.generate_rays(c2w, cfg.height, cfg.width, cfg.focal)
+
+    t_pl, hit_pl = megakernel.march_pallas(
+        plane1_params, origin, dirs, cfg, tile=128, interpret=True
+    )
+
+    from cudaneuralrender_tpu.render.renderer import scene_fn
+
+    f = scene_fn(plane1_params, cfg, 0.0)
+    ref = march.sphere_trace(
+        f, origin, dirs, max_steps=cfg.max_steps, march_eps=cfg.march_eps,
+        bound_center=cfg.bound_center, bound_radius=cfg.bound_radius,
+    )
+    # fp contraction order differs between the transposed-kernel chain and
+    # XLA's layout; near-threshold rays can wobble at the 1e-5 level.
+    hit_agree = (np.asarray(hit_pl) == np.asarray(ref.hit)).mean()
+    assert hit_agree > 0.99, f"hit agreement {hit_agree}"
+    both = np.asarray(hit_pl) & np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(t_pl)[both], np.asarray(ref.t)[both], atol=1e-4
+    )
+
+
+def test_render_image_pallas_matches_xla(plane1_params):
+    cfg = cnr.RenderConfig(width=16, height=16, scene="neural_raw", max_steps=128)
+    a = np.asarray(
+        megakernel.render_image_pallas(
+            plane1_params, cnr.Camera(), cfg, tile=128, interpret=True
+        )
+    )
+    b = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_megakernel_tanh_scene(plane1_params):
+    cfg = cnr.RenderConfig(width=8, height=8, scene="neural_tanh", max_steps=64)
+    c2w, _ = cam_lib.view_matrices(cnr.Camera())
+    origin, dirs = cam_lib.generate_rays(c2w, 8, 8, cfg.focal)
+    t_pl, hit_pl = megakernel.march_pallas(
+        plane1_params, origin, dirs, cfg, tile=128, interpret=True
+    )
+    from cudaneuralrender_tpu.render.renderer import scene_fn
+
+    f = scene_fn(plane1_params, cfg, 0.0)
+    ref = march.sphere_trace(
+        f, origin, dirs, max_steps=cfg.max_steps, march_eps=cfg.march_eps,
+    )
+    np.testing.assert_array_equal(np.asarray(hit_pl), np.asarray(ref.hit))
+
+
+def test_megakernel_rejects_csg_scene(plane1_params):
+    cfg = cnr.RenderConfig(width=8, height=8, scene="many_sphere")
+    with pytest.raises(ValueError, match="neural scenes only"):
+        megakernel.render_image_pallas(
+            plane1_params, cnr.Camera(), cfg, tile=128, interpret=True
+        )

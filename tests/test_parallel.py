@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: pjit sharding-equivalence — sharded render == single-device)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import cudaneuralrender_tpu as cnr
+from cudaneuralrender_tpu.parallel import dryrun, mesh as mesh_lib
+from cudaneuralrender_tpu.parallel.sharding import render_image_sharded
+from cudaneuralrender_tpu.models import mlp
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (XLA_FLAGS host_platform_device_count)")
+    return jax.devices()[:8]
+
+
+def test_make_mesh_shapes(eight_devices):
+    m = mesh_lib.make_mesh()
+    assert m.shape["data"] == len(jax.devices())
+    m2 = mesh_lib.make_mesh((4, 2), ("data", "model"), eight_devices)
+    assert m2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh((3, 2), ("data", "model"), eight_devices)
+
+
+def test_sharded_render_equals_single_device(eight_devices, plane1_params):
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=200)
+    m = mesh_lib.make_mesh((8, 1), ("data", "model"), eight_devices)
+    sharded = np.asarray(render_image_sharded(plane1_params, cnr.Camera(), cfg, m))
+    single = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_render_analytic(eight_devices):
+    cfg = cnr.RenderConfig(width=16, height=16, scene="sphere", max_steps=64)
+    m = mesh_lib.make_mesh((8, 1), ("data", "model"), eight_devices)
+    sharded = np.asarray(render_image_sharded(None, cnr.Camera(), cfg, m))
+    single = np.asarray(cnr.render_image(None, cnr.Camera(), cfg))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_indivisible_rays_rejected(eight_devices):
+    cfg = cnr.RenderConfig(width=15, height=15, scene="sphere")
+    m = mesh_lib.make_mesh((8, 1), ("data", "model"), eight_devices)
+    with pytest.raises(ValueError, match="divisible"):
+        render_image_sharded(None, cnr.Camera(), cfg, m)
+
+
+def test_tp_shardings_cover_params(eight_devices):
+    params = mlp.init_mlp(jax.random.key(0), sizes=(3, 16, 16, 16, 1))
+    m = mesh_lib.make_mesh((4, 2), ("data", "model"), eight_devices)
+    shardings = mesh_lib.tp_mlp_shardings(params, m)
+    placed = jax.device_put(params, shardings)
+    # TP-sharded forward must equal replicated forward
+    x = jax.random.uniform(jax.random.key(1), (64, 3))
+    a = np.asarray(mlp.apply_scalar(placed, x))
+    b = np.asarray(mlp.apply_scalar(params, x))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_dryrun_multichip(eight_devices):
+    """The driver's dryrun entry: full sharded train steps on 8 devices."""
+    dryrun.run(8)
+
+
+def test_dryrun_odd_device_count(eight_devices):
+    dryrun.run(5)

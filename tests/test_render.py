@@ -1,0 +1,112 @@
+"""End-to-end render tests: analytic scene geometry checks + real-model smoke
+renders + staged-compaction equivalence (BASELINE config 1 machinery)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cudaneuralrender_tpu as cnr
+
+
+ANALYTIC_CFG = cnr.RenderConfig(
+    width=64, height=64, scene="sphere", max_steps=200, march_eps=1e-5
+)
+
+
+def test_render_analytic_sphere_silhouette():
+    """A 0.9-radius sphere from distance 2 with focal 2: the silhouette
+    half-angle is asin(0.9/2) -> tan gives the NDC radius; check the rendered
+    alpha mask matches the analytic disc within a pixel."""
+    img = np.asarray(cnr.render_image(None, cnr.Camera(), ANALYTIC_CFG))
+    assert img.shape == (64, 64, 4)
+    alpha = img[..., 3] > 0
+    ys, xs = np.nonzero(alpha)
+    assert len(xs) > 0
+    # center of image
+    cx, cy = xs.mean(), ys.mean()
+    assert abs(cx - 31.5) < 1.0 and abs(cy - 31.5) < 1.0
+    # radius in NDC: direction angle theta with sin(theta) = 0.9/2
+    sin_t = 0.9 / 2.0
+    tan_t = sin_t / np.sqrt(1 - sin_t**2)
+    ndc_r = tan_t * 2.0  # u at which the ray grazes: u/focal = tan -> u = 2 tan
+    pix_r = ndc_r / 2.0 * 64
+    got_r = np.sqrt(alpha.sum() / np.pi)
+    assert abs(got_r - pix_r) < 1.5
+
+
+def test_render_shading_is_lambert_like():
+    """Facing-ratio at the silhouette center equals 1 (normal facing camera)."""
+    img = np.asarray(cnr.render_image(None, cnr.Camera(), ANALYTIC_CFG))
+    center = img[32, 32]
+    np.testing.assert_allclose(center, [1, 1, 1, 1], atol=1e-2)
+
+
+def test_render_rotation_invariance_of_sphere():
+    """A centered sphere renders identically under y-rotation."""
+    a = np.asarray(cnr.render_image(None, cnr.Camera(), ANALYTIC_CFG))
+    b = np.asarray(cnr.render_image(None, cnr.Camera(rotation_y=90.0), ANALYTIC_CFG))
+    np.testing.assert_allclose(a[..., 3], b[..., 3], atol=1e-5)
+
+
+def test_render_plane1_smoke(plane1_params):
+    """Real-model render at 64² on CPU: must produce a nonempty, non-full
+    foreground and finite colors (BASELINE config 1 reduced)."""
+    cfg = cnr.RenderConfig(width=64, height=64, scene="neural_raw", max_steps=300)
+    img = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
+    assert np.isfinite(img).all()
+    fg = (img[..., 3] > 0).mean()
+    assert 0.02 < fg < 0.9, f"foreground fraction {fg}"
+
+
+def test_staged_matches_dense(plane1_params):
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=300)
+    dense = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
+    staged = np.asarray(
+        cnr.render_staged(plane1_params, cnr.Camera(), cfg.replace(march_impl="staged", stage_steps=16))
+    )
+    np.testing.assert_allclose(staged, dense, atol=1e-4)
+
+
+def test_render_matcap_mode(plane1_params, matcap_path):
+    from cudaneuralrender_tpu.utils import image_io
+
+    matcap = jnp.asarray(image_io.load_matcap(matcap_path))
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=200, shading="matcap")
+    img = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg, matcap))
+    assert np.isfinite(img).all()
+    fg = img[..., 3] > 0
+    assert fg.any()
+    # matcap texels must not be all gray (chrome has color variation)
+    px = img[fg]
+    assert px[:, :3].std() > 0.01
+
+
+def test_renderer_class_and_save(tmp_path, plane1_params):
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=200)
+    r = cnr.Renderer(plane1_params, cfg)
+    frame = r.render_frame(cnr.Camera())
+    assert frame.shape == (32, 32, 4) and frame.dtype == np.uint8
+    png = tmp_path / "out.png"
+    ppm = tmp_path / "out.ppm"
+    r.save_frame(str(png), cnr.Camera())
+    r.save_frame(str(ppm), cnr.Camera())
+    from cudaneuralrender_tpu.utils import image_io
+
+    np.testing.assert_array_equal(image_io.load_png(str(png)), frame)
+    np.testing.assert_array_equal(image_io.load_ppm(str(ppm)), frame[..., :3])
+
+
+def test_animation_mode_changes_scene(plane1_params):
+    cfg = cnr.RenderConfig(width=32, height=32, scene="many_sphere", max_steps=200)
+    a = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg, frame=0.0))
+    b = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg, frame=180.0))
+    assert not np.allclose(a, b)
+
+
+def test_tetrahedron_normal_mode_close_to_autodiff(plane1_params):
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=200)
+    ad = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
+    fd = np.asarray(
+        cnr.render_image(plane1_params, cnr.Camera(), cfg.replace(normal_mode="tetrahedron"))
+    )
+    mask = ad[..., 3] > 0
+    assert np.abs(ad[mask] - fd[mask]).mean() < 0.02
