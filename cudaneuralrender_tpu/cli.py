@@ -52,8 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene", default=None,
                    help="scene composition (default: neural_raw; reference ships many_sphere)")
     p.add_argument("--steps", type=int, default=6000, help="max march steps")
-    p.add_argument("--march", choices=("while", "fori", "staged"), default="while")
-    p.add_argument("--pallas", action="store_true", help="use the Pallas megakernel")
+    p.add_argument(
+        "--march", choices=("while", "fori", "staged", "megakernel"), default="staged"
+    )
+    p.add_argument(
+        "--pallas",
+        action="store_true",
+        help="evaluate the neural SDF through the fused Pallas kernel",
+    )
     p.add_argument("--normal-mode", choices=("autodiff", "tetrahedron"), default="autodiff")
     p.add_argument("--parity-flip", action="store_true",
                    help="reproduce the reference's 180° savePNG orientation")

@@ -102,9 +102,9 @@ def apply(
     return h
 
 
-def apply_scalar(params: MLPParams, x: jax.Array) -> jax.Array:
+def apply_scalar(params: MLPParams, x: jax.Array, **kw) -> jax.Array:
     """(..., n_in) -> (...) for single-output networks (SDF value)."""
-    y = apply(params, x)
+    y = apply(params, x, **kw)
     return jnp.squeeze(y, axis=-1)
 
 

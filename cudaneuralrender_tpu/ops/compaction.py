@@ -29,6 +29,19 @@ def capacity_bucket(count: int, minimum: int = 256) -> int:
     return cap
 
 
+def capacity_bucket_of(count: int, total: int, minimum: int = 8192) -> int:
+    """Coarse capacity bucket: total / 4^k, the largest shrink that still
+    holds ``count`` (floored at ``minimum``). Buckets are a function of the
+    *image size* only, so the staged renderer compiles at most
+    log4(total/minimum) compacted-stage programs regardless of scene or
+    camera (each XLA compile is expensive over a remote tunnel)."""
+    cap = int(total)
+    floor = max(int(minimum), 1)
+    while cap // 4 >= max(int(count), floor):
+        cap //= 4
+    return min(cap, total)
+
+
 def compact_indices(mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
     """Indices of True lanes packed into a dense [capacity] prefix.
 

@@ -186,7 +186,7 @@ def march_stage(
     dirs: jax.Array,
     state: MarchState,
     *,
-    num_steps: int,
+    num_steps,
     max_steps: int,
     march_eps: float,
 ) -> MarchState:
@@ -196,8 +196,12 @@ def march_stage(
     then re-pack the survivors (ops/compaction.py) and continue on a smaller
     batch — the TPU analogue of the reference's thrust-scan compaction
     (volumeRender_kernel.cu:549-576) without a per-step host sync.
+
+    ``num_steps`` may be a traced scalar — the stage program is compiled once
+    per batch capacity and reused for any stage length.
     """
     start = state.steps
+    num_steps = jnp.asarray(num_steps, jnp.int32)
 
     def cond(s: MarchState):
         return (s.steps < max_steps) & (s.steps - start < num_steps) & jnp.any(s.active)

@@ -56,12 +56,13 @@ def pack_params(params: MLPParams, pad_width: int | None = None) -> Tuple[jax.Ar
     return jnp.stack(w_layers), jnp.stack(b_layers), sizes[0], h
 
 
-def _mlp_chain(w_ref, b_ref, x, n_layers: int):
+def _mlp_chain(w_ref, b_ref, x, n_layers: int, precision=jax.lax.Precision.HIGHEST):
     """Run the padded layer chain on transposed activations x [H, T].
 
-    precision=HIGHEST: bf16 MXU passes would inject ~1e-2 absolute error into
-    the SDF value, breaking eps=1e-6 sphere-trace convergence (see
-    models/mlp.py docstring for measurements).
+    precision defaults to HIGHEST: bf16 MXU passes inject ~1e-2 absolute
+    error into the SDF value, breaking eps=1e-6 sphere-trace convergence
+    (see models/mlp.py docstring for measurements); the mixed-precision
+    march passes DEFAULT here for the coarse far-field phase.
     """
     for l in range(n_layers):
         w = w_ref[l]  # [H_in, H_out]
@@ -70,7 +71,7 @@ def _mlp_chain(w_ref, b_ref, x, n_layers: int):
             w,
             x,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32,
         )
         y = y + b_ref[l][:, None]
@@ -80,13 +81,13 @@ def _mlp_chain(w_ref, b_ref, x, n_layers: int):
     return x
 
 
-def _fused_mlp_kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int):
+def _fused_mlp_kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, precision):
     x = x_ref[:]  # [H, T] transposed activations
-    y = _mlp_chain(w_ref, b_ref, x, n_layers)
+    y = _mlp_chain(w_ref, b_ref, x, n_layers, precision)
     out_ref[:] = y[0:1, :]  # head output lives in feature row 0
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "precision"))
 def mlp_forward_pallas(
     weights: jax.Array,
     biases: jax.Array,
@@ -94,6 +95,7 @@ def mlp_forward_pallas(
     *,
     tile: int = 2048,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Fused forward pass. weights [L,H,H], biases [L,H] from pack_params;
     x [B, n_in] points. Returns [B] raw logits (single-output head).
@@ -111,7 +113,7 @@ def mlp_forward_pallas(
     xt = xt.at[:n_in, :B].set(x.T)
 
     out = pl.pallas_call(
-        functools.partial(_fused_mlp_kernel, n_layers=L),
+        functools.partial(_fused_mlp_kernel, n_layers=L, precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
@@ -126,14 +128,43 @@ def mlp_forward_pallas(
     return out[0, :B]
 
 
-def neural_sdf_fn_pallas(params: MLPParams, *, tile: int = 2048, interpret: bool = False):
-    """SdfFn backed by the fused kernel (drop-in for renderer.neural_sdf_fn
-    on the 3-input path)."""
+def should_interpret() -> bool:
+    """Pallas TPU kernels need interpret mode on the CPU backend (tests)."""
+    return jax.default_backend() == "cpu"
+
+
+def neural_sdf_fn_pallas(
+    params: MLPParams,
+    frame=0.0,
+    num_inputs: int = 3,
+    *,
+    tile: int = 2048,
+    interpret: bool | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """SdfFn backed by the fused kernel — drop-in for renderer.neural_sdf_fn.
+
+    This is the march-rate path: one pallas_call per march step evaluates the
+    whole 9-layer chain with weights and activations VMEM-resident, so the
+    step's HBM traffic is just points in / distances out (the XLA chain
+    materializes every [N, 32] activation to HBM — measured >10x
+    bandwidth-bound at 1080p). num_inputs=4 appends the frame column
+    (animation mode).
+    """
+    if interpret is None:
+        interpret = should_interpret()
     weights, biases, n_in, _ = pack_params(params)
 
     def fn(p: jax.Array) -> jax.Array:
         flat = p.reshape(-1, p.shape[-1])
-        d = mlp_forward_pallas(weights, biases, flat, tile=tile, interpret=interpret)
+        if num_inputs == 4:
+            f = jnp.broadcast_to(
+                jnp.asarray(frame, flat.dtype), (flat.shape[0], 1)
+            )
+            flat = jnp.concatenate([flat, f], axis=-1)
+        d = mlp_forward_pallas(
+            weights, biases, flat, tile=tile, interpret=interpret, precision=precision
+        )
         return d.reshape(p.shape[:-1])
 
     return fn

@@ -30,12 +30,20 @@ from ..utils import image_io
 from ..utils.config import RenderConfig
 
 
-def neural_sdf_fn(params: MLPParams, frame, num_inputs: int = 3, dtype=None):
+def neural_sdf_fn(
+    params: MLPParams,
+    frame,
+    num_inputs: int = 3,
+    precision=jax.lax.Precision.HIGHEST,
+):
     """Wrap MLP params as an SdfFn over (..., 3) points.
 
     num_inputs=4 appends the frame number as a 4th input — animation mode
     (c_numInputs==4, createBatch volumeRender_kernel.cu:533-544).
     Output is the raw pre-tanh logit (see models/mlp.py docstring).
+    precision selects the MXU pass count (see models/mlp.py): the staged
+    renderer marches the far field at DEFAULT (~2.6x faster, ±3e-2 abs
+    error) and refines near-surface rays at HIGHEST.
     """
 
     def fn(p: jax.Array) -> jax.Array:
@@ -43,17 +51,39 @@ def neural_sdf_fn(params: MLPParams, frame, num_inputs: int = 3, dtype=None):
         if num_inputs == 4:
             f = jnp.broadcast_to(jnp.asarray(frame, p.dtype), p.shape[:-1] + (1,))
             x = jnp.concatenate([p, f], axis=-1)
-        return mlp.apply_scalar(params, x)
+        return mlp.apply_scalar(params, x, precision=precision)
 
     return fn
 
 
-def scene_fn(params: Optional[MLPParams], config: RenderConfig, frame):
+def scene_fn(
+    params: Optional[MLPParams],
+    config: RenderConfig,
+    frame,
+    *,
+    for_grad: bool = False,
+    precision=None,
+):
     """Compose the scene SDF for a config (replaces the hardcoded sceneSDF,
-    volumeRender_kernel.cu:217-230)."""
+    volumeRender_kernel.cu:217-230).
+
+    With config.use_pallas the neural field evaluates through the fused
+    Pallas kernel (VMEM-resident chain — the march hot path). Gradient
+    consumers (autodiff normals, implicit diff) pass for_grad=True to get
+    the jnp chain, which is differentiable; both produce the same values.
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     neural = None
     if params is not None:
-        neural = neural_sdf_fn(params, frame, config.num_inputs)
+        if config.use_pallas and not for_grad:
+            from ..pallas.fused_mlp import neural_sdf_fn_pallas
+
+            neural = neural_sdf_fn_pallas(
+                params, frame, config.num_inputs, precision=precision
+            )
+        else:
+            neural = neural_sdf_fn(params, frame, config.num_inputs, precision)
     return sdf.make_scene(config.scene, neural, frame)
 
 
@@ -99,8 +129,10 @@ def render_image(
         )
 
     points = origin + dirs * result.t[:, None]
+    # Shading differentiates the SDF for normals -> always the jnp chain.
+    f_shade = scene_fn(params, config, frame, for_grad=True)
     colors = shading.shade(
-        f,
+        f_shade,
         points,
         dirs,
         mode=config.shading,
@@ -114,9 +146,116 @@ def render_image(
     return rgba.reshape(config.height, config.width, 4)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "num_steps"))
-def _stage_step(params, origin, dirs, state, config: RenderConfig, frame, num_steps: int):
-    """One compaction stage: march up to num_steps dense steps."""
+@functools.partial(jax.jit, static_argnames=("config",))
+def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
+    """The full staged-compaction march as ONE compiled program.
+
+    Dense prefix of config.stage_steps, then for each (div, steps) entry of
+    config.compact_schedule: pack survivors into a static N/div batch
+    (exclusive-scan gather, ops/compaction.py), march them, scatter back.
+    Static shapes throughout — no host syncs, no recompiles across cameras.
+    Overflow lanes (active count exceeding a bucket — a mis-sized schedule)
+    are simply left untouched and stay active for the caller's continuation
+    loop, so the schedule is a performance hint, never a correctness hazard.
+    """
+    n = dirs.shape[0]
+    fine = scene_fn(params, config, frame)
+    mixed = config.march_precision == "mixed"
+    if mixed:
+        coarse = scene_fn(params, config, frame, precision=jax.lax.Precision.DEFAULT)
+        eps_a = config.coarse_eps
+    else:
+        coarse, eps_a = fine, config.march_eps
+
+    state = march.init_state(origin, dirs, config.bound_center, config.bound_radius)
+    state = march.march_stage(
+        coarse, origin, dirs, state,
+        num_steps=config.stage_steps,
+        max_steps=config.max_steps,
+        march_eps=eps_a,
+    )
+    for div, steps in config.compact_schedule:
+        cap = n // div
+        if cap < config.compact_min or cap >= n:
+            continue
+        idx, valid = compaction.compact_indices(state.active, cap)
+        sub = march.MarchState(
+            t=state.t[idx],
+            budget=state.budget[idx],
+            active=state.active[idx] & valid,
+            converged=state.converged[idx] & valid,
+            steps=state.steps,
+        )
+        sub = march.march_stage(
+            coarse, origin, dirs[idx], sub,
+            num_steps=steps,
+            max_steps=config.max_steps,
+            march_eps=eps_a,
+        )
+        t, budget, active, converged = compaction.scatter_state(
+            (state.t, state.budget, state.active, state.converged),
+            (sub.t, sub.budget, sub.active, sub.converged),
+            idx,
+            valid,
+        )
+        state = march.MarchState(t, budget, active, converged, steps=sub.steps)
+
+    refine_overflow = jnp.zeros((), jnp.int32)
+    if mixed:
+        # Phase B: re-march every near-surface ray (coarse-converged or still
+        # active) at HIGHEST precision down to the true march_eps. These rays
+        # are within ~coarse_eps of the surface, so B converges in a handful
+        # of steps on a small packed batch.
+        refine = state.converged | state.active
+        cap = max(n // config.refine_div, config.compact_min)
+        refine_count = jnp.sum(refine.astype(jnp.int32))
+        if cap < n:
+            idx, valid = compaction.compact_indices(refine, cap)
+            sub = march.MarchState(
+                t=state.t[idx],
+                budget=state.budget[idx],
+                active=refine[idx] & valid,
+                converged=jnp.zeros((cap,), bool),
+                steps=state.steps,
+            )
+            sub = march.march_stage(
+                fine, origin, dirs[idx], sub,
+                num_steps=config.max_steps,
+                max_steps=config.max_steps,
+                march_eps=config.march_eps,
+            )
+            t, budget, active, converged = compaction.scatter_state(
+                (state.t, state.budget, state.active, state.converged),
+                (sub.t, sub.budget, sub.active & valid, sub.converged & valid),
+                idx,
+                valid,
+            )
+            state = march.MarchState(t, budget, active, converged, steps=sub.steps)
+            refine_overflow = jnp.maximum(refine_count - cap, 0)
+        else:
+            sub = march.MarchState(
+                t=state.t,
+                budget=state.budget,
+                active=refine,
+                converged=jnp.zeros_like(refine),
+                steps=state.steps,
+            )
+            state = march.march_stage(
+                fine, origin, dirs, sub,
+                num_steps=config.max_steps,
+                max_steps=config.max_steps,
+                march_eps=config.march_eps,
+            )
+    return state, refine_overflow
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_step(params, origin, dirs, state, config: RenderConfig, frame, num_steps):
+    """One compaction stage: march up to num_steps (traced) dense steps.
+
+    Compiled once per (config, batch-capacity) — num_steps is a traced scalar
+    so stage lengths never trigger recompilation.
+    """
     f = scene_fn(params, config, frame)
     return march.march_stage(
         f,
@@ -131,7 +270,7 @@ def _stage_step(params, origin, dirs, state, config: RenderConfig, frame, num_st
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _shade_final(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig, matcap, frame):
-    f = scene_fn(params, config, frame)
+    f = scene_fn(params, config, frame, for_grad=True)
     points = origin + dirs * t[:, None]
     colors = shading.shade(
         f,
@@ -147,6 +286,85 @@ def _shade_final(params, origin, dirs, t, hit, world_to_cam, config: RenderConfi
     return rgba.reshape(config.height, config.width, 4)
 
 
+def _shade_compacted(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig, matcap, frame):
+    """Shade only the hit pixels: pack them into a static N/shade_div batch,
+    estimate normals + color there, scatter into the background image.
+    Returns (rgba, hit_count) — caller falls back to dense shading when
+    hit_count exceeds the bucket (host check)."""
+    n = dirs.shape[0]
+    cap = max(n // config.shade_div, config.compact_min)
+    hit_count = jnp.sum(hit.astype(jnp.int32))
+    if cap >= n:
+        return _shade_body(params, origin, dirs, t, hit, world_to_cam, config, matcap, frame), hit_count
+
+    f = scene_fn(params, config, frame, for_grad=True)
+    idx, valid = compaction.compact_indices(hit, cap)
+    sub_dirs = dirs[idx]
+    points = origin + sub_dirs * t[idx][:, None]
+    colors = shading.shade(
+        f,
+        points,
+        sub_dirs,
+        mode=config.shading,
+        normal_mode=config.normal_mode,
+        normal_eps=config.normal_eps,
+        world_to_cam=world_to_cam,
+        matcap=matcap,
+    )
+    rgba = jnp.zeros((n, 4), jnp.float32)
+    dump = jnp.asarray(n, jnp.int32)
+    safe = jnp.where(valid, idx, dump)
+    rgba = rgba.at[safe].set(colors, mode="drop")
+    return rgba.reshape(config.height, config.width, 4), hit_count
+
+
+def _shade_body(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig, matcap, frame):
+    f = scene_fn(params, config, frame, for_grad=True)
+    points = origin + dirs * t[:, None]
+    colors = shading.shade(
+        f,
+        points,
+        dirs,
+        mode=config.shading,
+        normal_mode=config.normal_mode,
+        normal_eps=config.normal_eps,
+        world_to_cam=world_to_cam,
+        matcap=matcap,
+    )
+    rgba = jnp.where(hit[:, None], colors, 0.0)
+    return rgba.reshape(config.height, config.width, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, frame):
+    """March + compacted shading as ONE compiled program.
+
+    Returns (rgba, state, stats) with stats = [active_count, steps_done,
+    hit_count] packed into one small array so the caller needs a single
+    host round trip to decide whether the fast path sufficed (remote-tunnel
+    TPUs pay ~100 ms per sync).
+    """
+    cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    state, refine_overflow = _scheduled_march.__wrapped__(
+        params, origin, dirs, config, frame
+    )
+    rgba, hit_count = _shade_compacted(
+        params, origin, dirs, state.t, state.converged, world_to_cam, config, matcap, frame
+    )
+    stats = jnp.stack(
+        [
+            jnp.sum(state.active.astype(jnp.int32)),
+            state.steps,
+            hit_count,
+            refine_overflow,
+        ]
+    )
+    return rgba, state, stats
+
+
 def render_staged(
     params: Optional[MLPParams],
     camera: Camera,
@@ -157,34 +375,56 @@ def render_staged(
     """Staged-compaction render — the fast path for deep marches.
 
     Sphere tracing has a long straggler tail (measured on plane_1 at 512²:
-    the march needs 2114 steps to resolve every ray, but after 64 steps only
-    1.9% are still active, after 256 steps 0.14%). A dense march pays the
+    the march needs 2114 steps to resolve every ray, but after 32 steps only
+    4.2% are still active, after 128 steps 0.7%). A dense march pays the
     whole image's MLP cost for every straggler step; the reference solves
     this with per-step stream compaction and a forced host sync each
-    iteration (volumeRender_kernel.cu:549-576, :562). Here compaction is
-    *staged*: march ``config.stage_steps`` dense steps, then re-pack the
-    survivors into a power-of-two capacity bucket and continue with
-    geometrically growing stage lengths — O(log max_steps) host syncs total
-    and one compiled program per (config, bucket) pair.
+    iteration (volumeRender_kernel.cu:549-576, :562). Here the whole
+    compaction schedule runs inside ONE compiled program
+    (``_scheduled_march``) with static capacities — zero mid-march host
+    syncs. A single post-check handles leftovers (schedule overflow or
+    rays needing more than the scheduled budget) with host-driven
+    continuation stages — empty in the common case.
     """
+    frame = jnp.asarray(frame, jnp.float32)
+
+    rgba, full, stats = _render_scheduled(params, camera, config, matcap, frame)
+    active_count, steps_done, hit_count, refine_overflow = (
+        int(v) for v in np.asarray(stats)
+    )
+
+    if refine_overflow > 0:
+        # Mixed-precision refinement bucket under-provisioned (huge
+        # foreground): redo exactly, one-time compile of the full variant.
+        return render_staged(
+            params, camera, config.replace(march_precision="full"), matcap, frame
+        )
+
+    n_rays = config.num_rays
+    shade_cap = max(n_rays // config.shade_div, config.compact_min)
+    schedule_ok = active_count == 0 or steps_done >= config.max_steps
+    shade_ok = shade_cap >= n_rays or hit_count <= shade_cap
+    if schedule_ok and shade_ok:
+        return rgba
+
+    # Slow path (rare): the schedule under-provisioned a bucket, max_steps
+    # wasn't exhausted inside the schedule, or more pixels hit than the
+    # shading bucket holds. Continue with host-driven stages + dense shade.
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
     )
-    frame = jnp.asarray(frame, jnp.float32)
-
-    stage_len = config.stage_steps
-    full = march.init_state(origin, dirs, config.bound_center, config.bound_radius)
-    full = _stage_step(params, origin, dirs, full, config, frame, stage_len)
 
     while True:
         active_count = int(jnp.sum(full.active))
         steps_done = int(full.steps)
         if active_count == 0 or steps_done >= config.max_steps:
             break
-        stage_len = min(stage_len * 2, config.max_steps - steps_done)
-        cap = compaction.capacity_bucket(active_count)
-        if cap >= full.t.shape[0]:
+        stage_len = config.max_steps - steps_done
+        cap = compaction.capacity_bucket_of(
+            active_count, n_rays, minimum=config.compact_min
+        )
+        if cap >= n_rays:
             full = _stage_step(params, origin, dirs, full, config, frame, stage_len)
             continue
         idx, valid = compaction.compact_indices(full.active, cap)
@@ -228,7 +468,7 @@ class Renderer:
 
     def render(self, camera: Camera, frame: float = 0.0) -> jax.Array:
         """Render to [H, W, 4] float rgba (device array)."""
-        if self.config.use_pallas:
+        if self.config.march_impl == "megakernel":
             from ..pallas import megakernel
 
             return megakernel.render_image_pallas(
