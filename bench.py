@@ -1,0 +1,77 @@
+"""Driver benchmark: headline metric = rays/sec/chip, 1080p sphere-trace.
+
+Renders plane_1.h5 (the reference's flagship geometry) at 1920x1080 with the
+full reference march budget (max_steps=6000, eps=1e-6) through the fast
+staged-compaction path, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The CUDA reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+the speedup over this framework's round-1 initial TPU measurement
+(0.858 Mrays/s, staged path, 2026-08-17) — the fixed yardstick for tracking
+optimization progress across rounds.
+
+Timing notes (axon remote-tunnel TPU): the first post-compile execution is
+lazy, so every sample syncs via a scalar fetch and the warmup frame is
+excluded. Median over --frames distinct cameras.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import cudaneuralrender_tpu as cnr
+
+ROUND1_BASELINE_RAYS_PER_S = 0.858e6
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", default="1920x1080")
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--model", default="/root/reference/neuralGeometries/plane_1.h5")
+    args = ap.parse_args()
+
+    w, h = (int(v) for v in args.res.split("x"))
+    params = cnr.load(args.model)
+    config = cnr.RenderConfig(
+        width=w, height=h, scene="neural_raw", max_steps=args.steps,
+        march_impl="staged",
+    )
+    cameras = [
+        cnr.Camera(rotation_y=25.0 + 20.0 * i, rotation_x=10.0)
+        for i in range(args.frames)
+    ]
+
+    def sync(x) -> float:
+        return float(x.sum())
+
+    sync(cnr.render_staged(params, cameras[0], config))  # compile + warm up
+    times = []
+    for cam in cameras:
+        t0 = time.perf_counter()
+        sync(cnr.render_staged(params, cam, config))
+        times.append(time.perf_counter() - t0)
+
+    rays_per_s = w * h / float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_sphere_trace_rays_per_sec_per_chip",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / ROUND1_BASELINE_RAYS_PER_S, 3),
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,6 +20,22 @@ Quick start::
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent client-side compilation cache (keyed on HLO). On the remote
+# axon tunnel the server still lazily recompiles at first execution, but on
+# local CPU/TPU backends this removes repeat compiles across processes.
+if _jax.config.jax_compilation_cache_dir is None:
+    _cache = _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # read-only install dir: run without a cache
+        pass
+
 from .models import mlp
 from .models.checkpoint import load, load_keras_h5, load_pytree, save_pytree
 from .models.mlp import DenseParams, MLPParams, init_mlp
