@@ -45,10 +45,13 @@ def _march_megakernel(
     active0_ref,   # [1, T] float mask: 1 = march this ray
     origin_ref,    # [3, 1] shared eye origin
     frame_ref,     # [1, 1] animation frame number
+    steps0_ref,    # [1, 1] float: steps already taken (tail continuation)
     w_ref,         # [L, H, H] packed weights
     b_ref,         # [L, H] packed biases
     t_out,         # [1, T]
     conv_out,      # [1, T] float mask
+    budget_out,    # [1, T]
+    active_out,    # [1, T] float mask: unresolved at exit
     *,
     n_layers: int,
     hidden: int,
@@ -56,6 +59,7 @@ def _march_megakernel(
     max_steps: int,
     march_eps: float,
     use_tanh: bool,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     dirs = dirs_ref[:]
     origin = origin_ref[:]
@@ -70,7 +74,7 @@ def _march_megakernel(
         if pad:
             rows.append(jnp.zeros((pad, T), jnp.float32))
         x = jnp.concatenate(rows, axis=0)  # [H, T]
-        d = _mlp_chain(w_ref, b_ref, x, n_layers)[0:1, :]  # [1, T]
+        d = _mlp_chain(w_ref, b_ref, x, n_layers, precision)[0:1, :]  # [1, T]
         if use_tanh:
             d = jnp.tanh(d)
         return d
@@ -94,15 +98,116 @@ def _march_megakernel(
         return step + 1, t, budget, active, conv
 
     init = (
-        jnp.zeros((), jnp.int32),
+        steps0_ref[0, 0].astype(jnp.int32),
         t0_ref[:],
         budget0_ref[:],
         active0_ref[:],
         jnp.zeros_like(active0_ref[:]),
     )
-    _, t, _, _, conv = jax.lax.while_loop(cond, body, init)
+    _, t, budget, active, conv = jax.lax.while_loop(cond, body, init)
     t_out[:] = t
     conv_out[:] = conv
+    budget_out[:] = budget
+    active_out[:] = active
+
+
+def march_pallas_state(
+    params: MLPParams,
+    origin: jax.Array,
+    dirs: jax.Array,
+    state: march.MarchState,
+    config: RenderConfig,
+    frame: jax.Array | float = 0.0,
+    *,
+    tile: int = 1024,
+    interpret: bool = False,
+    march_eps: float | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> march.MarchState:
+    """Continue an existing march state inside the megakernel.
+
+    The building block for the staged renderer's deep-straggler tail: once
+    the survivors fit a small packed batch, thousands of sequential tiny
+    steps are latency-bound in an XLA while_loop (one loop-iteration
+    round trip per step), but run at VMEM speed inside the kernel.
+    """
+    n = dirs.shape[0]
+    n_tiles = pl.cdiv(n, tile)
+    n_pad = n_tiles * tile
+
+    weights, biases, n_in, hidden = pack_params(params)
+    use_tanh = config.scene == "neural_tanh"
+
+    def pad_row(x, fill=0.0):
+        return jnp.full((1, n_pad), fill, jnp.float32).at[0, :n].set(x)
+
+    dirs_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(dirs.T)
+    t0 = pad_row(state.t)
+    budget0 = pad_row(state.budget)
+    active0 = pad_row(state.active.astype(jnp.float32))  # pad lanes inactive
+
+    kernel = functools.partial(
+        _march_megakernel,
+        n_layers=weights.shape[0],
+        hidden=hidden,
+        n_inputs=config.num_inputs,
+        max_steps=config.max_steps,
+        march_eps=config.march_eps if march_eps is None else march_eps,
+        use_tanh=use_tanh,
+        precision=precision,
+    )
+
+    row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    t_arr, conv, budget, active = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            row_spec(),
+            row_spec(),
+            row_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # origin [3,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # frame [1,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # steps0 [1,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
+        ],
+        out_specs=(row_spec(), row_spec(), row_spec(), row_spec()),
+        interpret=interpret,
+    )(
+        dirs_t,
+        t0,
+        budget0,
+        active0,
+        origin.reshape(3, 1).astype(jnp.float32),
+        jnp.reshape(jnp.asarray(frame, jnp.float32), (1, 1)),
+        jnp.reshape(state.steps.astype(jnp.float32), (1, 1)),
+        weights,
+        biases,
+    )
+
+    # steps taken inside the kernel varies per tile; report the max bound the
+    # caller can rely on (max_steps) only when rays remain active. For the
+    # staged renderer's accounting the exact count is not needed — exiting
+    # with no active rays ends the march.
+    new_steps = jnp.where(
+        jnp.any(active[0, :n] > 0.5),
+        jnp.asarray(config.max_steps, jnp.int32),
+        state.steps,
+    )
+    return march.MarchState(
+        t=t_arr[0, :n],
+        budget=budget[0, :n],
+        active=(active[0, :n] > 0.5) & state.active,
+        converged=(conv[0, :n] > 0.5) | state.converged,
+        steps=new_steps,
+    )
 
 
 @functools.partial(
@@ -119,65 +224,11 @@ def march_pallas(
     interpret: bool = False,
 ):
     """Run the megakernel over all rays. Returns (t [N], hit [N] bool)."""
-    n = dirs.shape[0]
-    n_tiles = pl.cdiv(n, tile)
-    n_pad = n_tiles * tile
-
-    weights, biases, n_in, hidden = pack_params(params)
-    use_tanh = config.scene == "neural_tanh"
-
     state = march.init_state(origin, dirs, config.bound_center, config.bound_radius)
-
-    def pad_row(x, fill=0.0):
-        return jnp.full((1, n_pad), fill, jnp.float32).at[0, :n].set(x)
-
-    dirs_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(dirs.T)
-    t0 = pad_row(state.t)
-    budget0 = pad_row(state.budget)
-    active0 = pad_row(state.active.astype(jnp.float32))  # pad lanes inactive
-
-    kernel = functools.partial(
-        _march_megakernel,
-        n_layers=weights.shape[0],
-        hidden=hidden,
-        n_inputs=config.num_inputs,
-        max_steps=config.max_steps,
-        march_eps=config.march_eps,
-        use_tanh=use_tanh,
+    out = march_pallas_state(
+        params, origin, dirs, state, config, frame, tile=tile, interpret=interpret
     )
-
-    row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    t_arr, conv = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        ),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            row_spec(),
-            row_spec(),
-            row_spec(),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # origin [3,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # frame [1,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
-        ],
-        out_specs=(row_spec(), row_spec()),
-        interpret=interpret,
-    )(
-        dirs_t,
-        t0,
-        budget0,
-        active0,
-        origin.reshape(3, 1).astype(jnp.float32),
-        jnp.reshape(jnp.asarray(frame, jnp.float32), (1, 1)),
-        weights,
-        biases,
-    )
-
-    return t_arr[0, :n], conv[0, :n] > 0.5
+    return out.t, out.converged
 
 
 @functools.partial(jax.jit, static_argnames=("config", "tile", "interpret"))

@@ -105,3 +105,33 @@ def test_megakernel_rejects_csg_scene(plane1_params):
         megakernel.render_image_pallas(
             plane1_params, cnr.Camera(), cfg, tile=128, interpret=True
         )
+
+
+def test_megakernel_state_continuation(plane1_params):
+    """march_pallas_state continuing a half-done XLA march must agree with
+    the XLA march run to completion (the staged renderer's tail path)."""
+    cfg = cnr.RenderConfig(width=16, height=16, scene="neural_raw", max_steps=128)
+    c2w, _ = cam_lib.view_matrices(cnr.Camera())
+    origin, dirs = cam_lib.generate_rays(c2w, cfg.height, cfg.width, cfg.focal)
+
+    from cudaneuralrender_tpu.render.renderer import scene_fn
+
+    f = scene_fn(plane1_params, cfg, 0.0)
+    st = march.init_state(origin, dirs, cfg.bound_center, cfg.bound_radius)
+    st = march.march_stage(f, origin, dirs, st, num_steps=8,
+                           max_steps=cfg.max_steps, march_eps=cfg.march_eps)
+
+    cont = megakernel.march_pallas_state(
+        plane1_params, origin, dirs, st, cfg, tile=128, interpret=True
+    )
+    ref = march.march_stage(f, origin, dirs, st, num_steps=cfg.max_steps,
+                            max_steps=cfg.max_steps, march_eps=cfg.march_eps)
+    hit_agree = (np.asarray(cont.converged) == np.asarray(ref.converged)).mean()
+    assert hit_agree > 0.99, f"hit agreement {hit_agree}"
+    both = np.asarray(cont.converged) & np.asarray(ref.converged)
+    np.testing.assert_allclose(
+        np.asarray(cont.t)[both], np.asarray(ref.t)[both], atol=1e-4
+    )
+    # rays already converged before the continuation stay converged
+    pre = np.asarray(st.converged)
+    assert np.all(np.asarray(cont.converged)[pre])
