@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interactive browser viewer (GLUT-window equivalent)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--save-ckpt", default=None, help="re-save loaded weights as .npz")
+    p.add_argument("--stats", action="store_true",
+                   help="print a JSON line of per-frame render stats (steps, "
+                        "hits, compaction health, ms)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into DIR "
+                        "(view with TensorBoard/XProf)")
     return p
 
 
@@ -115,9 +121,19 @@ def main(argv=None) -> int:
 
     def render_one(cam, frame, path):
         t0 = time.perf_counter()
-        rgba = renderer.render(cam, frame)
-        jax.block_until_ready(rgba)
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                rgba = renderer.render(cam, frame)
+                jax.block_until_ready(rgba)
+        else:
+            rgba = renderer.render(cam, frame)
+            jax.block_until_ready(rgba)
         dt = time.perf_counter() - t0
+        if args.stats:
+            import json
+
+            print(json.dumps({"frame": frame, "ms": round(dt * 1e3, 2),
+                              **renderer.last_stats}), flush=True)
         img = image_io.to_uint8_image(np.asarray(rgba), parity_flip=args.parity_flip)
         if path.lower().endswith(".ppm"):
             image_io.save_ppm(path, img)

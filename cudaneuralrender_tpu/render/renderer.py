@@ -146,37 +146,53 @@ def render_image(
     return rgba.reshape(config.height, config.width, 4)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
-    """The full staged-compaction march as ONE compiled program.
+def _tail_kernel_fn(params, config: RenderConfig, frame):
+    """Megakernel continuation for terminal schedule rungs, or None.
 
-    Dense prefix of config.stage_steps, then for each (div, steps) entry of
-    config.compact_schedule: pack survivors into a static N/div batch
-    (exclusive-scan gather, ops/compaction.py), march them, scatter back.
-    Static shapes throughout — no host syncs, no recompiles across cameras.
-    Overflow lanes (active count exceeding a bucket — a mis-sized schedule)
-    are simply left untouched and stay active for the caller's continuation
-    loop, so the schedule is a performance hint, never a correctness hazard.
+    Only neural scenes march in-kernel (CSG composition stays in XLA), and
+    only when the config opts in via tail_pallas.
+    """
+    if not config.tail_pallas or config.scene not in ("neural_raw", "neural_tanh"):
+        return None
+    from ..pallas import megakernel
+
+    def run(sub: march.MarchState, sub_dirs, origin, eps, precision):
+        return megakernel.march_pallas_state(
+            params, origin, sub_dirs, sub, config, frame,
+            tile=sub_dirs.shape[0], march_eps=eps, precision=precision,
+        )
+
+    return run
+
+
+def _run_schedule(
+    f, origin, dirs, state, schedule, config: RenderConfig, eps, *,
+    precision=None, tail_kernel=None,
+):
+    """Pack→march→scatter compaction rungs over the full-image state.
+
+    Each (div, steps) rung packs the active rays into a static N/div batch
+    (exclusive-scan gather, ops/compaction.py — the reference's thrust scan
+    without the per-step host sync, volumeRender_kernel.cu:549-576) and
+    marches `steps` more (0 = until the bucket runs dry). Overflow lanes are
+    left untouched and stay active for the caller's host-driven continuation
+    loop, so schedules are performance hints, never correctness hazards.
     """
     n = dirs.shape[0]
-    fine = scene_fn(params, config, frame)
-    mixed = config.march_precision == "mixed"
-    if mixed:
-        coarse = scene_fn(params, config, frame, precision=jax.lax.Precision.DEFAULT)
-        eps_a = config.coarse_eps
-    else:
-        coarse, eps_a = fine, config.march_eps
-
-    state = march.init_state(origin, dirs, config.bound_center, config.bound_radius)
-    state = march.march_stage(
-        coarse, origin, dirs, state,
-        num_steps=config.stage_steps,
-        max_steps=config.max_steps,
-        march_eps=eps_a,
-    )
-    for div, steps in config.compact_schedule:
-        cap = n // div
-        if cap < config.compact_min or cap >= n:
+    for div, steps in schedule:
+        # Clamp small buckets up to compact_min (sub-VPU-width batches save
+        # nothing); a rung whose bucket is the whole image marches densely —
+        # terminal (steps=0) rungs must still run to completion so small
+        # images resolve inside this one program.
+        cap = max(n // div, config.compact_min)
+        if cap >= n:
+            if steps == 0:
+                state = march.march_stage(
+                    f, origin, dirs, state,
+                    num_steps=config.max_steps,
+                    max_steps=config.max_steps,
+                    march_eps=eps,
+                )
             continue
         idx, valid = compaction.compact_indices(state.active, cap)
         sub = march.MarchState(
@@ -186,29 +202,78 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
             converged=state.converged[idx] & valid,
             steps=state.steps,
         )
-        sub = march.march_stage(
-            coarse, origin, dirs[idx], sub,
-            num_steps=steps,
-            max_steps=config.max_steps,
-            march_eps=eps_a,
+        use_tail = (
+            tail_kernel is not None and steps == 0 and cap <= config.tail_pallas_max
         )
+        if use_tail:
+            sub = tail_kernel(sub, dirs[idx], origin, eps, precision)
+        else:
+            sub = march.march_stage(
+                f, origin, dirs[idx], sub,
+                num_steps=(config.max_steps if steps == 0 else steps),
+                max_steps=config.max_steps,
+                march_eps=eps,
+            )
         t, budget, active, converged = compaction.scatter_state(
             (state.t, state.budget, state.active, state.converged),
-            (sub.t, sub.budget, sub.active, sub.converged),
+            (sub.t, sub.budget, sub.active & valid, sub.converged & valid),
             idx,
             valid,
         )
         state = march.MarchState(t, budget, active, converged, steps=sub.steps)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
+    """The full staged-compaction march as ONE compiled program.
+
+    Phase A (coarse): dense prefix of config.stage_steps, then the
+    coarse_schedule rungs — at DEFAULT matmul precision down to coarse_eps
+    when march_precision="mixed" (the measured behavior on the shipped
+    geometries: the coarse phase runs completely dry in ~30 steps).
+
+    Phase B (refine, mixed only): every near-surface ray (coarse-converged
+    or still active — a silhouette halo of ~16% of the image at 1080p) is
+    re-marched at HIGHEST precision down to the true march_eps through the
+    refine_schedule ladder; its stragglers carry the 1000+-step tail, which
+    the ladder prices at ever-smaller bucket sizes.
+
+    Static shapes throughout — no host syncs, no recompiles across cameras.
+    """
+    n = dirs.shape[0]
+    fine = scene_fn(params, config, frame)
+    mixed = config.march_precision == "mixed"
+    tail_kernel = _tail_kernel_fn(params, config, frame)
+    if mixed:
+        coarse = scene_fn(params, config, frame, precision=jax.lax.Precision.DEFAULT)
+        eps_a = config.coarse_eps
+        schedule_a = config.coarse_schedule
+        prec_a = jax.lax.Precision.DEFAULT
+    else:
+        coarse, eps_a = fine, config.march_eps
+        schedule_a = config.fine_schedule
+        prec_a = jax.lax.Precision.HIGHEST
+
+    state = march.init_state(origin, dirs, config.bound_center, config.bound_radius)
+    state = march.march_stage(
+        coarse, origin, dirs, state,
+        num_steps=config.stage_steps,
+        max_steps=config.max_steps,
+        march_eps=eps_a,
+    )
+    state = _run_schedule(
+        coarse, origin, dirs, state, schedule_a, config, eps_a,
+        precision=prec_a, tail_kernel=tail_kernel,
+    )
 
     refine_overflow = jnp.zeros((), jnp.int32)
     if mixed:
-        # Phase B: re-march every near-surface ray (coarse-converged or still
-        # active) at HIGHEST precision down to the true march_eps. These rays
-        # are within ~coarse_eps of the surface, so B converges in a handful
-        # of steps on a small packed batch.
+        # Phase B entry: pack the refine set and mark it active again.
         refine = state.converged | state.active
-        cap = max(n // config.refine_div, config.compact_min)
         refine_count = jnp.sum(refine.astype(jnp.int32))
+        div0, steps0 = config.refine_schedule[0]
+        cap = max(n // div0, config.compact_min)
         if cap < n:
             idx, valid = compaction.compact_indices(refine, cap)
             sub = march.MarchState(
@@ -220,7 +285,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
             )
             sub = march.march_stage(
                 fine, origin, dirs[idx], sub,
-                num_steps=config.max_steps,
+                num_steps=(config.max_steps if steps0 == 0 else steps0),
                 max_steps=config.max_steps,
                 march_eps=config.march_eps,
             )
@@ -246,6 +311,12 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
                 max_steps=config.max_steps,
                 march_eps=config.march_eps,
             )
+        # Remaining refine rungs drain the fine-phase straggler tail.
+        state = _run_schedule(
+            fine, origin, dirs, state, config.refine_schedule[1:], config,
+            config.march_eps, precision=jax.lax.Precision.HIGHEST,
+            tail_kernel=tail_kernel,
+        )
     return state, refine_overflow
 
 
@@ -371,6 +442,8 @@ def render_staged(
     config: RenderConfig,
     matcap: Optional[jax.Array] = None,
     frame: jax.Array | float = 0.0,
+    *,
+    stats_out: Optional[dict] = None,
 ) -> jax.Array:
     """Staged-compaction render — the fast path for deep marches.
 
@@ -392,10 +465,23 @@ def render_staged(
     active_count, steps_done, hit_count, refine_overflow = (
         int(v) for v in np.asarray(stats)
     )
+    if stats_out is not None:
+        # Per-frame observability (SURVEY.md §5 metrics row): everything the
+        # reference printf'd (FPS/steps) plus the compaction health signals.
+        stats_out.update(
+            rays=config.num_rays,
+            steps=steps_done,
+            hits=hit_count,
+            unresolved=active_count,
+            refine_overflow=refine_overflow,
+            fast_path=True,
+        )
 
     if refine_overflow > 0:
         # Mixed-precision refinement bucket under-provisioned (huge
         # foreground): redo exactly, one-time compile of the full variant.
+        if stats_out is not None:
+            stats_out.update(fast_path=False)
         return render_staged(
             params, camera, config.replace(march_precision="full"), matcap, frame
         )
@@ -444,6 +530,13 @@ def render_staged(
         )
         full = march.MarchState(t, budget, active, converged, steps=sub.steps)
 
+    if stats_out is not None:
+        stats_out.update(
+            fast_path=False,
+            steps=int(full.steps),
+            hits=int(jnp.sum(full.converged)),
+            unresolved=int(jnp.sum(full.active)),
+        )
     return _shade_final(
         params, origin, dirs, full.t, full.converged, world_to_cam, config, matcap, frame
     )
@@ -465,6 +558,9 @@ class Renderer:
         self.matcap = jnp.asarray(matcap) if matcap is not None else None
         if config.shading == "matcap" and self.matcap is None:
             raise ValueError("matcap shading requires a matcap texture")
+        #: per-frame render statistics of the most recent ``render`` call
+        #: (staged path only; see render_staged stats_out).
+        self.last_stats: dict = {}
 
     def render(self, camera: Camera, frame: float = 0.0) -> jax.Array:
         """Render to [H, W, 4] float rgba (device array)."""
@@ -475,7 +571,11 @@ class Renderer:
                 self.params, camera, self.config, self.matcap, frame
             )
         if self.config.march_impl == "staged":
-            return render_staged(self.params, camera, self.config, self.matcap, frame)
+            self.last_stats = {}
+            return render_staged(
+                self.params, camera, self.config, self.matcap, frame,
+                stats_out=self.last_stats,
+            )
         return render_image(self.params, camera, self.config, self.matcap, frame)
 
     def render_frame(self, camera: Camera, frame: float = 0.0, *, parity_flip: bool = False) -> np.ndarray:

@@ -72,18 +72,26 @@ class RenderConfig:
     #   "megakernel" - whole march inside one Pallas kernel per ray tile
     march_impl: str = "while"
 
-    # Staged-compaction schedule (march_impl="staged"): after `stage_steps`
-    # dense steps, re-pack survivors into capacity N/div and march `steps`
-    # more, per (div, steps) entry; leftovers (overflow or unconverged) are
-    # finished by a host-driven continuation loop. The whole schedule runs
-    # inside ONE compiled program — zero mid-march host syncs (each sync
-    # costs ~100 ms over a remote-tunnel TPU). Defaults follow the measured
-    # active-ray decay on the shipped geometries (4.2% active after 32
-    # steps, 0.7% after 128, 0.03% after 512 — plane_1 at 512²).
-    # (measured decay, plane_1: 11.7% active after 16 steps, 0.34% after 64,
-    # 0.01% after 256 — 1080p, oblique camera)
+    # Staged-compaction schedules (march_impl="staged"). Each phase starts
+    # with `stage_steps` dense steps, then per (div, steps) rung packs the
+    # surviving active rays into a static N/div batch, marches `steps` more
+    # (0 = until the phase's while-loop runs dry), and scatters back.
+    # Everything runs inside ONE compiled program — zero mid-march host
+    # syncs (each sync costs ~100 ms over a remote-tunnel TPU); leftovers
+    # (bucket overflow / remaining budget) fall to a host-driven
+    # continuation loop, so schedules are performance hints, never
+    # correctness hazards.
+    #
+    # Measured decay (plane_1, 1080p oblique): 11.7% of rays active after
+    # 16 steps; the coarse phase (eps=0.05) runs completely dry in ~30
+    # steps — the deep-step tail exists only at fine precision, where the
+    # near-surface refine set is ~16% of the image and its stragglers can
+    # need 1000+ steps, hence the refine ladder.
     stage_steps: int = 16
-    compact_schedule: Tuple[Tuple[int, int], ...] = ((4, 48), (64, 192), (256, 5744))
+    coarse_schedule: Tuple[Tuple[int, int], ...] = ((4, 0),)
+    refine_schedule: Tuple[Tuple[int, int], ...] = ((4, 32), (32, 96), (256, 0))
+    # march_precision="full" phase-A schedule (HIGHEST everywhere).
+    fine_schedule: Tuple[Tuple[int, int], ...] = ((4, 48), (32, 192), (256, 0))
     compact_min: int = 2048
 
     # Shading bucket: hit pixels are packed into a N/shade_div batch before
@@ -93,15 +101,24 @@ class RenderConfig:
     shade_div: int = 8
 
     # Mixed-precision march (staged path): "mixed" marches the far field
-    # with DEFAULT-precision matmuls (single bf16 MXU pass, ~2.6x faster,
-    # ±3e-2 absolute SDF error) down to `coarse_eps`, then re-marches the
-    # near-surface rays (converged-or-active, packed into a N/refine_div
-    # bucket) at HIGHEST precision down to march_eps. "full" = HIGHEST
-    # everywhere (exact reference semantics). The mixed image differs from
-    # full only by silhouette-level noise in budget-miss decisions.
+    # with DEFAULT-precision matmuls (single bf16 MXU pass, ~3x faster,
+    # max ±4.7e-2 absolute SDF error measured on plane_1) down to
+    # `coarse_eps`, then re-marches the near-surface rays (coarse-converged
+    # or still active) through the `refine_schedule` ladder at HIGHEST
+    # precision down to march_eps. (Precision.HIGH was measured at 2.2e-4
+    # max error — not enough for eps=1e-6, so the fine phase is HIGHEST.)
+    # "full" = HIGHEST everywhere (exact reference semantics). The mixed
+    # image differs from full only by silhouette-level noise in budget-miss
+    # decisions.
     march_precision: str = "mixed"
     coarse_eps: float = 0.05
-    refine_div: int = 4
+
+    # Run terminal rungs (steps=0) whose bucket fits `tail_pallas_max` rays
+    # inside the Pallas megakernel (pallas/megakernel.py): thousands of
+    # sequential tiny-batch steps are XLA-loop latency-bound, but run at
+    # VMEM speed in-kernel. Neural scenes only.
+    tail_pallas: bool = False
+    tail_pallas_max: int = 16384
 
     # Compute dtype for MLP matmuls. Positions/distances always stay float32
     # (march_eps=1e-6 is far below bf16 resolution).
