@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the render into DIR "
                         "(view with TensorBoard/XProf)")
+    p.add_argument("--fault-inject", type=int, default=0, metavar="N",
+                   help="debug: render through the fault-tolerant band path "
+                        "and inject N transient band failures (exercises "
+                        "tile retry; parallel/fault.py)")
     return p
 
 
@@ -121,7 +125,15 @@ def main(argv=None) -> int:
 
     def render_one(cam, frame, path):
         t0 = time.perf_counter()
-        if args.profile:
+        if args.fault_inject:
+            from cudaneuralrender_tpu.parallel import fault
+
+            inj = fault.FaultInjector(fail_times=args.fault_inject)
+            rgba = fault.render_tiled(
+                params, cam, cfg, renderer.matcap, frame, injector=inj
+            )
+            print(f"fault drill: {inj.injected} injected failures recovered")
+        elif args.profile:
             with jax.profiler.trace(args.profile):
                 rgba = renderer.render(cam, frame)
                 jax.block_until_ready(rgba)

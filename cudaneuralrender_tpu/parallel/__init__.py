@@ -1,1 +1,21 @@
-"""Subpackage of cudaneuralrender_tpu."""
+"""Multi-chip scaling + elasticity: device meshes (mesh.py), tile-sharded
+rendering over jax.sharding (sharding.py), fault-tolerant band retry
+(fault.py), and the multi-parallelism dry run (dryrun.py)."""
+
+from . import fault, mesh, sharding
+from .fault import FaultInjector, render_tiled
+from .mesh import data_sharding, make_mesh, replicated, tp_mlp_shardings
+from .sharding import render_image_sharded
+
+__all__ = [
+    "FaultInjector",
+    "data_sharding",
+    "fault",
+    "make_mesh",
+    "mesh",
+    "render_image_sharded",
+    "render_tiled",
+    "replicated",
+    "sharding",
+    "tp_mlp_shardings",
+]

@@ -76,7 +76,9 @@ def scene_fn(
         precision = jax.lax.Precision.HIGHEST
     neural = None
     if params is not None:
-        if config.use_pallas and not for_grad:
+        # Pallas dot lowering supports DEFAULT/HIGHEST only; HIGH (the
+        # ladder's middle phase) routes through the jnp chain.
+        if config.use_pallas and not for_grad and precision != jax.lax.Precision.HIGH:
             from ..pallas.fused_mlp import neural_sdf_fn_pallas
 
             neural = neural_sdf_fn_pallas(
@@ -269,55 +271,82 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
 
     refine_overflow = jnp.zeros((), jnp.int32)
     if mixed:
-        # Phase B entry: pack the refine set and mark it active again.
-        refine = state.converged | state.active
-        refine_count = jnp.sum(refine.astype(jnp.int32))
-        div0, steps0 = config.refine_schedule[0]
-        cap = max(n // div0, config.compact_min)
-        if cap < n:
-            idx, valid = compaction.compact_indices(refine, cap)
-            sub = march.MarchState(
-                t=state.t[idx],
-                budget=state.budget[idx],
-                active=refine[idx] & valid,
-                converged=jnp.zeros((cap,), bool),
-                steps=state.steps,
+        # Precision ladder: re-march the near-surface set at each finer
+        # precision down to the epsilon that dominates its matmul error.
+        ladder = []
+        if config.mid_eps > config.march_eps:
+            ladder.append((jax.lax.Precision.HIGH, config.mid_eps))
+        ladder.append((jax.lax.Precision.HIGHEST, config.march_eps))
+        for prec, eps in ladder:
+            f_p = (
+                fine
+                if prec == jax.lax.Precision.HIGHEST
+                else scene_fn(params, config, frame, precision=prec)
             )
-            sub = march.march_stage(
-                fine, origin, dirs[idx], sub,
-                num_steps=(config.max_steps if steps0 == 0 else steps0),
-                max_steps=config.max_steps,
-                march_eps=config.march_eps,
+            # Pallas dot lowering supports DEFAULT/HIGHEST only.
+            tk = None if prec == jax.lax.Precision.HIGH else tail_kernel
+            state, ovf = _refine_phase(
+                f_p, origin, dirs, state, config, eps, precision=prec,
+                tail_kernel=tk,
             )
-            t, budget, active, converged = compaction.scatter_state(
-                (state.t, state.budget, state.active, state.converged),
-                (sub.t, sub.budget, sub.active & valid, sub.converged & valid),
-                idx,
-                valid,
-            )
-            state = march.MarchState(t, budget, active, converged, steps=sub.steps)
-            refine_overflow = jnp.maximum(refine_count - cap, 0)
-        else:
-            sub = march.MarchState(
-                t=state.t,
-                budget=state.budget,
-                active=refine,
-                converged=jnp.zeros_like(refine),
-                steps=state.steps,
-            )
-            state = march.march_stage(
-                fine, origin, dirs, sub,
-                num_steps=config.max_steps,
-                max_steps=config.max_steps,
-                march_eps=config.march_eps,
-            )
-        # Remaining refine rungs drain the fine-phase straggler tail.
-        state = _run_schedule(
-            fine, origin, dirs, state, config.refine_schedule[1:], config,
-            config.march_eps, precision=jax.lax.Precision.HIGHEST,
-            tail_kernel=tail_kernel,
-        )
+            refine_overflow = jnp.maximum(refine_overflow, ovf)
     return state, refine_overflow
+
+
+def _refine_phase(
+    f, origin, dirs, state, config: RenderConfig, eps, *, precision, tail_kernel
+):
+    """One ladder phase: re-mark the near-surface set (converged-or-active)
+    active, pack it into the first refine rung's bucket, march, then drain
+    the phase's straggler tail through the remaining rungs."""
+    n = dirs.shape[0]
+    refine = state.converged | state.active
+    refine_count = jnp.sum(refine.astype(jnp.int32))
+    overflow = jnp.zeros((), jnp.int32)
+    div0, steps0 = config.refine_schedule[0]
+    cap = max(n // div0, config.compact_min)
+    if cap < n:
+        idx, valid = compaction.compact_indices(refine, cap)
+        sub = march.MarchState(
+            t=state.t[idx],
+            budget=state.budget[idx],
+            active=refine[idx] & valid,
+            converged=jnp.zeros((cap,), bool),
+            steps=state.steps,
+        )
+        sub = march.march_stage(
+            f, origin, dirs[idx], sub,
+            num_steps=(config.max_steps if steps0 == 0 else steps0),
+            max_steps=config.max_steps,
+            march_eps=eps,
+        )
+        t, budget, active, converged = compaction.scatter_state(
+            (state.t, state.budget, state.active, state.converged),
+            (sub.t, sub.budget, sub.active & valid, sub.converged & valid),
+            idx,
+            valid,
+        )
+        state = march.MarchState(t, budget, active, converged, steps=sub.steps)
+        overflow = jnp.maximum(refine_count - cap, 0)
+    else:
+        sub = march.MarchState(
+            t=state.t,
+            budget=state.budget,
+            active=refine,
+            converged=jnp.zeros_like(refine),
+            steps=state.steps,
+        )
+        state = march.march_stage(
+            f, origin, dirs, sub,
+            num_steps=config.max_steps,
+            max_steps=config.max_steps,
+            march_eps=eps,
+        )
+    state = _run_schedule(
+        f, origin, dirs, state, config.refine_schedule[1:], config, eps,
+        precision=precision, tail_kernel=tail_kernel,
+    )
+    return state, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -100,18 +100,23 @@ class RenderConfig:
     # falls back to dense shading via a host check.
     shade_div: int = 8
 
-    # Mixed-precision march (staged path): "mixed" marches the far field
-    # with DEFAULT-precision matmuls (single bf16 MXU pass, ~3x faster,
-    # max ±4.7e-2 absolute SDF error measured on plane_1) down to
-    # `coarse_eps`, then re-marches the near-surface rays (coarse-converged
-    # or still active) through the `refine_schedule` ladder at HIGHEST
-    # precision down to march_eps. (Precision.HIGH was measured at 2.2e-4
-    # max error — not enough for eps=1e-6, so the fine phase is HIGHEST.)
-    # "full" = HIGHEST everywhere (exact reference semantics). The mixed
-    # image differs from full only by silhouette-level noise in budget-miss
-    # decisions.
+    # Mixed-precision march (staged path): "mixed" runs a precision ladder —
+    # each phase marches at a cheaper matmul precision down to an epsilon
+    # that dominates that precision's measured SDF error (plane_1):
+    #   DEFAULT (1 bf16 MXU pass,  max err 4.7e-2) -> eps 0.05
+    #   HIGH    (3 bf16 passes,    max err 2.2e-4) -> eps 1e-3
+    #   HIGHEST (6 passes / f32,   exact at 1e-6 ) -> eps march_eps
+    # Between phases the near-surface set (converged-or-active) re-packs
+    # into the next phase's refine_schedule ladder. "full" = HIGHEST
+    # everywhere (exact reference semantics). The mixed image differs from
+    # full only by silhouette-level noise in budget-miss decisions.
+    # mid_eps > march_eps enables the optional HIGH middle phase; 0.0 (the
+    # default) goes straight DEFAULT -> HIGHEST. Each extra phase costs a
+    # few re-polish steps per ray, which can push rays past a tight
+    # max_steps budget — measure before enabling.
     march_precision: str = "mixed"
     coarse_eps: float = 0.05
+    mid_eps: float = 0.0
 
     # Run terminal rungs (steps=0) whose bucket fits `tail_pallas_max` rays
     # inside the Pallas megakernel (pallas/megakernel.py): thousands of

@@ -1,0 +1,86 @@
+"""Inverse rendering: recover perturbed MLP weights from pixel supervision
+(BASELINE config 4 as a runnable demo).
+
+Takes a shipped geometry, perturbs its weights, and optimizes them back
+using the differentiable renderer (pixel L2 through the implicit-surface
+gradient + silhouette BCE for coverage) against target views rendered from
+the original weights.
+
+Usage: python examples/inverse_render.py [--steps 100] [--res 64]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import cudaneuralrender_tpu as cnr
+from cudaneuralrender_tpu.diff import losses
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="/root/reference/neuralGeometries/plane_1.h5")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--views", type=int, default=4)
+    ap.add_argument("--noise", type=float, default=0.02)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    target_params = cnr.load(args.model)
+    cfg = cnr.RenderConfig(width=args.res, height=args.res, scene="neural_raw",
+                           max_steps=300)
+    cams = [cnr.Camera(rotation_y=360.0 * i / args.views, rotation_x=15.0)
+            for i in range(args.views)]
+    targets = [cnr.render_image(target_params, c, cfg) for c in cams]
+    masks = [t[..., 3] > 0 for t in targets]
+
+    key = jax.random.key(0)
+    params = jax.tree_util.tree_map(
+        lambda x: x + args.noise * jax.random.normal(
+            jax.random.fold_in(key, hash(x.shape) % 2**31), x.shape, x.dtype
+        ),
+        target_params,
+    )
+
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, cam, target, mask):
+        def loss_fn(p):
+            return (
+                losses.pixel_loss(p, cam, cfg, target)
+                + 0.1 * losses.silhouette_loss(p, cam, cfg, mask)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    base = float(losses.pixel_loss(params, cams[0], cfg, targets[0]))
+    for i in range(args.steps):
+        v = i % args.views
+        params, opt_state, loss = step(params, opt_state, cams[v], targets[v], masks[v])
+        if i % 10 == 0:
+            print(f"step {i:4d}: loss {float(loss):.6f}", flush=True)
+    final = float(losses.pixel_loss(params, cams[0], cfg, targets[0]))
+    print(f"pixel loss view 0: {base:.6f} -> {final:.6f} "
+          f"({'recovered' if final < base * 0.5 else 'partial'})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
