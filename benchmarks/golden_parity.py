@@ -20,7 +20,9 @@ import json
 import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os as _os
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

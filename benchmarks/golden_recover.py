@@ -20,7 +20,9 @@ import itertools
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os as _os
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +52,12 @@ def main() -> int:
     ap.add_argument("--golden", default="plane_1")
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--start", default=None,
+                    help="skip the coarse grid: 'rx,ry,zoom,flip' to refine "
+                         "from (use a prior lower-res recovery)")
+    ap.add_argument("--fine", type=float, default=None, nargs=2,
+                    metavar=("DROT", "DZOOM"),
+                    help="extra hill-climb round at this granularity")
     args = ap.parse_args()
 
     params = cnr.load(f"/root/reference/neuralGeometries/{args.golden}.h5")
@@ -68,21 +76,34 @@ def main() -> int:
 
     targets = {flip: golden_mask(args.golden, args.res, flip) for flip in (False, True)}
 
-    t0 = time.time()
-    best = (-1.0, None)
-    for rx, ry in itertools.product(range(-45, 61, 15), range(0, 360, 15)):
-        m = mask_for(rx, ry, 2.0)
-        for flip, tgt in targets.items():
-            s = iou(m, tgt)
-            if s > best[0]:
-                best = (s, (float(rx), float(ry), 2.0, flip))
-                print(f"  coarse best IoU={s:.3f} rx={rx} ry={ry} flip={flip}", flush=True)
-    print(f"coarse done in {time.time()-t0:.0f}s: {best}", flush=True)
+    if args.start:
+        parts = args.start.split(",")
+        rx0, ry0, z0 = (float(v) for v in parts[:3])
+        flip = parts[3].lower() in ("1", "true") if len(parts) > 3 else False
+        s0 = iou(mask_for(rx0, ry0, z0), targets[flip])
+        best = (s0, (rx0, ry0, z0, flip))
+        print(f"starting from {best}", flush=True)
+    else:
+        t0 = time.time()
+        best = (-1.0, None)
+        for rx, ry in itertools.product(range(-45, 61, 15), range(0, 360, 15)):
+            m = mask_for(rx, ry, 2.0)
+            for flip, tgt in targets.items():
+                s = iou(m, tgt)
+                if s > best[0]:
+                    best = (s, (float(rx), float(ry), 2.0, flip))
+                    print(f"  coarse best IoU={s:.3f} rx={rx} ry={ry} flip={flip}", flush=True)
+        print(f"coarse done in {time.time()-t0:.0f}s: {best}", flush=True)
 
     # local refinement: rotations +-12 deg at 3-deg steps, zoom 1.4..3.0
     s0, (rx0, ry0, z0, flip) = best
     tgt = targets[flip]
-    for rounds, (dr, dz) in enumerate(((3.0, 0.2), (1.0, 0.05))):
+    rounds_spec = ((3.0, 0.2), (1.0, 0.05))
+    if args.start:
+        rounds_spec = ((1.0, 0.05),)
+    if args.fine:
+        rounds_spec = rounds_spec + (tuple(args.fine),)
+    for rounds, (dr, dz) in enumerate(rounds_spec):
         improved = True
         while improved:
             improved = False

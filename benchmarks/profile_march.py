@@ -9,7 +9,9 @@ import argparse
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os as _os
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

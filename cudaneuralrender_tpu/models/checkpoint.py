@@ -117,3 +117,30 @@ def load(path: str, *, dtype=jnp.float32) -> MLPParams:
     if lower.endswith(".npz"):
         return load_pytree(path, dtype=dtype)
     raise ValueError(f"unknown checkpoint format: {path}")
+
+
+def save_orbax(path: str, params: MLPParams) -> None:
+    """Save via orbax-checkpoint (async-capable, multi-host-aware — the
+    production checkpointing layer for trained weights; npz remains the
+    dependency-free default)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            [{"w": np.asarray(l.w), "b": np.asarray(l.b)} for l in params],
+        )
+
+
+def load_orbax(path: str, *, dtype=jnp.float32) -> MLPParams:
+    """Load a checkpoint written by save_orbax."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    params = tuple(
+        DenseParams(jnp.asarray(l["w"], dtype), jnp.asarray(l["b"], dtype))
+        for l in tree
+    )
+    mlp.validate_chain(params)
+    return params

@@ -24,7 +24,7 @@ import numpy as np
 from ..models import mlp
 from ..models.mlp import MLPParams
 from ..ops import camera as camera_lib
-from ..ops import compaction, march, sdf, shading
+from ..ops import compaction, grid, march, prepass, sdf, shading
 from ..ops.camera import Camera
 from ..utils import image_io
 from ..utils.config import RenderConfig
@@ -89,6 +89,22 @@ def scene_fn(
     return sdf.make_scene(config.scene, neural, frame)
 
 
+_SHADE_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def shade_fn(params, config: RenderConfig, frame):
+    """Scene SDF for shading/normal estimation: differentiable (jnp chain)
+    at config.shade_precision."""
+    return scene_fn(
+        params, config, frame, for_grad=True,
+        precision=_SHADE_PREC[config.shade_precision],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def render_image(
     params: Optional[MLPParams],
@@ -132,7 +148,7 @@ def render_image(
 
     points = origin + dirs * result.t[:, None]
     # Shading differentiates the SDF for normals -> always the jnp chain.
-    f_shade = scene_fn(params, config, frame, for_grad=True)
+    f_shade = shade_fn(params, config, frame)
     colors = shading.shade(
         f_shade,
         points,
@@ -257,7 +273,37 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
         schedule_a = config.fine_schedule
         prec_a = jax.lax.Precision.HIGHEST
 
-    state = march.init_state(origin, dirs, config.bound_center, config.bound_radius)
+    use_prepass = (
+        mixed
+        and config.prepass_factor > 1
+        and config.height % config.prepass_factor == 0
+        and config.width % config.prepass_factor == 0
+    )
+    if use_prepass:
+        # Phase 0: cone-traced low-res prepass (ops/prepass.py). Sky-pixel
+        # neighborhoods die here; surface-bound rays start margin-close.
+        with jax.named_scope("prepass"):
+            state = prepass.prepass_init(
+                coarse, origin, dirs, config.height, config.width,
+                config.prepass_factor,
+                margin=config.coarse_eps,
+                bound_center=config.bound_center,
+                bound_radius=config.bound_radius,
+            )
+    else:
+        state = march.init_state(
+            origin, dirs, config.bound_center, config.bound_radius
+        )
+    if mixed and config.grid_res:
+        # Phase 0 (alternative): baked-distance-grid skipping (ops/grid.py).
+        # Measured 16x SLOWER than the dense march on TPU (XLA gather-bound)
+        # — kept as an explicit opt-in and documented negative result.
+        gbound = config.bound_radius * 1.05
+        g = grid.bake(coarse, config.grid_res, gbound)
+        state = grid.grid_march(
+            g, origin, dirs, state,
+            bound=gbound, max_steps=config.max_steps,
+        )
     state = march.march_stage(
         coarse, origin, dirs, state,
         num_steps=config.stage_steps,
@@ -370,7 +416,7 @@ def _stage_step(params, origin, dirs, state, config: RenderConfig, frame, num_st
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _shade_final(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig, matcap, frame):
-    f = scene_fn(params, config, frame, for_grad=True)
+    f = shade_fn(params, config, frame)
     points = origin + dirs * t[:, None]
     colors = shading.shade(
         f,
@@ -397,7 +443,7 @@ def _shade_compacted(params, origin, dirs, t, hit, world_to_cam, config: RenderC
     if cap >= n:
         return _shade_body(params, origin, dirs, t, hit, world_to_cam, config, matcap, frame), hit_count
 
-    f = scene_fn(params, config, frame, for_grad=True)
+    f = shade_fn(params, config, frame)
     idx, valid = compaction.compact_indices(hit, cap)
     sub_dirs = dirs[idx]
     points = origin + sub_dirs * t[idx][:, None]
@@ -419,7 +465,7 @@ def _shade_compacted(params, origin, dirs, t, hit, world_to_cam, config: RenderC
 
 
 def _shade_body(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig, matcap, frame):
-    f = scene_fn(params, config, frame, for_grad=True)
+    f = shade_fn(params, config, frame)
     points = origin + dirs * t[:, None]
     colors = shading.shade(
         f,

@@ -87,7 +87,7 @@ class RenderConfig:
     # steps — the deep-step tail exists only at fine precision, where the
     # near-surface refine set is ~16% of the image and its stragglers can
     # need 1000+ steps, hence the refine ladder.
-    stage_steps: int = 16
+    stage_steps: int = 8
     coarse_schedule: Tuple[Tuple[int, int], ...] = ((4, 0),)
     refine_schedule: Tuple[Tuple[int, int], ...] = ((4, 32), (32, 96), (256, 0))
     # march_precision="full" phase-A schedule (HIGHEST everywhere).
@@ -100,6 +100,11 @@ class RenderConfig:
     # falls back to dense shading via a host check.
     shade_div: int = 8
 
+    # Matmul precision for shading normals: "highest" | "high" | "default".
+    # Measured identical frame time at 1080p (shading is gather/VPU-bound,
+    # not matmul-bound), so the default stays HIGHEST — exactness for free.
+    shade_precision: str = "highest"
+
     # Mixed-precision march (staged path): "mixed" runs a precision ladder —
     # each phase marches at a cheaper matmul precision down to an epsilon
     # that dominates that precision's measured SDF error (plane_1):
@@ -111,9 +116,10 @@ class RenderConfig:
     # everywhere (exact reference semantics). The mixed image differs from
     # full only by silhouette-level noise in budget-miss decisions.
     # mid_eps > march_eps enables the optional HIGH middle phase; 0.0 (the
-    # default) goes straight DEFAULT -> HIGHEST. Each extra phase costs a
-    # few re-polish steps per ray, which can push rays past a tight
-    # max_steps budget — measure before enabling.
+    # default) goes straight DEFAULT -> HIGHEST. Measured SLOWER at 1080p
+    # (459 vs 334 ms): the extra phase's pack/march overhead exceeds the
+    # precision savings on a 32-wide MLP, and the re-polish steps can push
+    # rays past a tight max_steps budget.
     march_precision: str = "mixed"
     coarse_eps: float = 0.05
     mid_eps: float = 0.0
@@ -124,6 +130,24 @@ class RenderConfig:
     # VMEM speed in-kernel. Neural scenes only.
     tail_pallas: bool = False
     tail_pallas_max: int = 16384
+
+    # Baked-distance-grid empty-space skipping (ops/grid.py). MEASURED SLOW
+    # on TPU (5.5 s vs 0.33 s per 1080p frame): the 8-tap trilinear gather
+    # over 2M dynamic indices is XLA-gather-bound — TPUs have no fast
+    # per-lane random access. Kept as an option (0 = off, the default) and
+    # as the documented negative result; the TPU-friendly empty-space skip
+    # is the cone-traced low-res prepass (`prepass_factor`).
+    grid_res: int = 0
+
+    # Cone-traced low-res depth prepass (ops/prepass.py): march a
+    # (H/f × W/f) grid with cone-safe steps, min-pool the safe depths, and
+    # start every full-res ray there (sky neighborhoods die without
+    # full-res marching). Dense ops only. 0/1 disables; mixed path only —
+    # "full" keeps exact reference stepping. Measured NEUTRAL at 1080p on
+    # the shipped geometries (348 vs 334 ms: the bounding sphere already
+    # culls most sky) — off by default, useful for sky-heavy scenes or
+    # cameras inside the bounding volume.
+    prepass_factor: int = 0
 
     # Compute dtype for MLP matmuls. Positions/distances always stay float32
     # (march_eps=1e-6 is far below bf16 resolution).

@@ -14,7 +14,9 @@ from __future__ import annotations
 import argparse
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os as _os
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 if "--cpu" in sys.argv:
     sys.argv.remove("--cpu")

@@ -88,3 +88,15 @@ def test_load_dispatch(tmp_path, plane1_path):
     assert len(checkpoint.load(path)) == 9
     with pytest.raises(ValueError):
         checkpoint.load("model.bin")
+
+
+def test_orbax_roundtrip(tmp_path, plane1_params):
+    pytest.importorskip("orbax.checkpoint")
+    from cudaneuralrender_tpu.models import checkpoint
+
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, plane1_params)
+    loaded = checkpoint.load_orbax(path)
+    for a, b in zip(plane1_params, loaded):
+        np.testing.assert_array_equal(np.asarray(a.w), np.asarray(b.w))
+        np.testing.assert_array_equal(np.asarray(a.b), np.asarray(b.b))

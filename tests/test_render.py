@@ -57,13 +57,37 @@ def test_render_plane1_smoke(plane1_params):
     assert 0.02 < fg < 0.9, f"foreground fraction {fg}"
 
 
-def test_staged_matches_dense(plane1_params):
+def test_staged_full_precision_matches_dense(plane1_params):
+    """march_precision='full' is the exact-reference-semantics contract:
+    bit-for-bit the same march as the dense path (no grid skip, no coarse
+    phase, HIGHEST matmuls)."""
     cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=300)
     dense = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
     staged = np.asarray(
-        cnr.render_staged(plane1_params, cnr.Camera(), cfg.replace(march_impl="staged", stage_steps=16))
+        cnr.render_staged(
+            plane1_params, cnr.Camera(),
+            cfg.replace(march_impl="staged", stage_steps=16, march_precision="full"),
+        )
     )
     np.testing.assert_allclose(staged, dense, atol=1e-4)
+
+
+def test_staged_mixed_matches_dense_structurally(plane1_params):
+    """The default mixed path (grid skip + precision ladder) is allowed
+    silhouette-level wobble only: hits agree and common-hit colors match."""
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=300)
+    dense = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
+    staged = np.asarray(
+        cnr.render_staged(plane1_params, cnr.Camera(), cfg.replace(march_impl="staged"))
+    )
+    hit_d = dense[..., 3] > 0
+    hit_s = staged[..., 3] > 0
+    agree = (hit_d == hit_s).mean()
+    assert agree >= 0.99, f"hit agreement {agree}"
+    both = hit_d & hit_s
+    close = np.all(np.abs(staged[both] - dense[both]) < 1e-3, axis=-1).mean()
+    # sub-pixel-thin features may converge on a different surface sheet
+    assert close >= 0.97, f"only {close:.3f} of common hits match"
 
 
 def test_render_matcap_mode(plane1_params, matcap_path):
