@@ -81,10 +81,10 @@ def main():
     sched = jax.jit(lambda o, d: renderer._scheduled_march.__wrapped__(params, o, d, cfg, jnp.float32(0.0))[0].t)
     timed("full _scheduled_march", sched, origin, dirs, reps=args.reps)
 
-    # --- shading (compacted)
-    state, _ = renderer._scheduled_march(params, origin, dirs, cfg, jnp.float32(0.0))
-    shade = jax.jit(lambda t, hitm: renderer._shade_compacted(params, origin, dirs, t, hitm, world_to_cam, cfg, None, jnp.float32(0.0))[0])
-    timed("compacted shading", shade, state.t, state.converged, reps=args.reps)
+    # --- shading (packed-bucket) incl. final image-order restore sort
+    pr, steps, _, _ = renderer._scheduled_march(params, origin, dirs, cfg, jnp.float32(0.0))
+    shade = jax.jit(lambda p, s: renderer._shade_packed(params, origin, p, s, world_to_cam, cfg, None, jnp.float32(0.0))[0])
+    timed("packed shading + restore", shade, pr, steps, reps=args.reps)
 
     # --- end to end
     e2e = lambda c: renderer.render_staged(params, c, cfg)

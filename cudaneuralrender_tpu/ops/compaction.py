@@ -66,6 +66,48 @@ def compact_indices(mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Arra
     return indices, valid
 
 
+def sort_pack_leaves(mask: jax.Array, leaves, within: int | None = None):
+    """Reorder every leaf so mask-True lanes form a dense prefix (stable,
+    image order preserved within each group).
+
+    The TPU-fast compaction primitive: ONE variadic ``lax.sort`` keyed on
+    ``~mask`` carries every per-ray array in the same pass. Measured on a
+    v5e-class chip at 2M lanes: 2.5 ms regardless of payload count (1..8),
+    vs ~10 ms for the cumsum+scatter index build (compact_indices) plus
+    3-20 ms for each XLA gather/scatter of the state leaves — dynamic
+    element addressing is the one thing this TPU generation does slowly, so
+    the sorting network (which moves data in dense vector lanes) wins by an
+    order of magnitude. See benchmarks/exp_kernels.py.
+
+    To restore the original order later, include an ``arange`` position
+    payload here and sort by it afterwards (``sort_restore_leaves``).
+
+    ``within``: only the first ``within`` lanes are reordered (the caller
+    guarantees mask is False beyond them — true for nested rung packs where
+    actives already live in the previous bucket's prefix); the suffix is
+    passed through untouched, shrinking the sort to bucket size.
+    """
+    n = mask.shape[0]
+    if within is None or within >= n:
+        key = (~mask).astype(jnp.int32)
+        out = jax.lax.sort((key, *leaves), dimension=0, num_keys=1, is_stable=True)
+        return tuple(out[1:])
+    key = (~mask[:within]).astype(jnp.int32)
+    head = jax.lax.sort(
+        (key, *(l[:within] for l in leaves)), dimension=0, num_keys=1, is_stable=True
+    )
+    return tuple(
+        jnp.concatenate([h, l[within:]]) for h, l in zip(head[1:], leaves)
+    )
+
+
+def sort_restore_leaves(pos: jax.Array, leaves):
+    """Undo any number of ``sort_pack_leaves`` reorderings in one sort: key on
+    the carried original-position payload (a permutation), payloads follow."""
+    out = jax.lax.sort((pos, *leaves), dimension=0, num_keys=1, is_stable=False)
+    return tuple(out[1:])
+
+
 def gather_state(tree, indices: jax.Array):
     """Gather leading-axis slices of every leaf in a pytree of [N, ...] arrays."""
     return jax.tree_util.tree_map(lambda a: a[indices], tree)

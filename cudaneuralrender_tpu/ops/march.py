@@ -189,6 +189,7 @@ def march_stage(
     num_steps,
     max_steps: int,
     march_eps: float,
+    relax_omega: float = 0.0,
 ) -> MarchState:
     """Advance an existing state by up to ``num_steps`` (bounded while loop).
 
@@ -199,7 +200,16 @@ def march_stage(
 
     ``num_steps`` may be a traced scalar — the stage program is compiled once
     per batch capacity and reused for any stage length.
+
+    ``relax_omega`` > 1 enables over-relaxed sphere tracing for this stage
+    (see ``march_stage_relaxed``); 0/1 keeps the reference's plain stepping.
     """
+    if relax_omega and relax_omega > 1.0:
+        return march_stage_relaxed(
+            sdf_fn, origin, dirs, state,
+            num_steps=num_steps, max_steps=max_steps, march_eps=march_eps,
+            omega=relax_omega,
+        )
     start = state.steps
     num_steps = jnp.asarray(num_steps, jnp.int32)
 
@@ -210,3 +220,84 @@ def march_stage(
         return march_step(sdf_fn, origin, dirs, s, march_eps)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def march_stage_relaxed(
+    sdf_fn: SdfFn,
+    origin: jax.Array,
+    dirs: jax.Array,
+    state: MarchState,
+    *,
+    num_steps,
+    max_steps: int,
+    march_eps: float,
+    omega: float = 1.4,
+) -> MarchState:
+    """Over-relaxed sphere tracing stage ("enhanced sphere tracing",
+    Keinert et al. 2014) as a masked per-ray FSM.
+
+    Each active ray steps ``omega * d`` instead of ``d``. The overstep is
+    safe while consecutive safety spheres overlap (``d_new + d_prev >=
+    step_len`` — their union then covers the skipped segment, so no surface
+    can be crossed); when they stop overlapping, the ray backtracks to the
+    previous plain-step position (``t - step_len + d_prev``, always inside
+    the previous safety sphere) and drops to omega=1 for the rest of the
+    stage. Under the same 1-Lipschitz assumption plain sphere tracing makes,
+    this never misses a surface — it just reaches it in ~1/omega as many MLP
+    evaluations. Stage boundaries reset the relaxation state, re-arming
+    omega after every compaction rung.
+
+    Budget semantics: the budget decrements by the distance actually
+    traveled (backtracks refund it), preserving the reference's
+    total-march <= tfar invariant (volumeRender_kernel.cu:463-467);
+    convergence still tests the raw SDF value against eps and advances by
+    d on the converging step, exactly like ``march_step``.
+
+    The extra per-ray state (prev_radius, step_len, omega) lives only in
+    this stage's while_loop carry — MarchState is unchanged, so compaction
+    gather/scatter between rungs needs no modification.
+    """
+    start = state.steps
+    num_steps = jnp.asarray(num_steps, jnp.int32)
+    n = dirs.shape[0]
+    prev_r = jnp.zeros((n,), jnp.float32)
+    step_len = jnp.zeros((n,), jnp.float32)
+    om = jnp.full((n,), float(omega), jnp.float32)
+
+    def cond(carry):
+        s = carry[0]
+        return (s.steps < max_steps) & (s.steps - start < num_steps) & jnp.any(s.active)
+
+    def body(carry):
+        s, prev_r, step_len, om = carry
+        pts = origin + dirs * s.t[:, None]
+        d = sdf_fn(pts)
+
+        sor_fail = s.active & (om > 1.0) & (d + prev_r < step_len)
+        conv_now = s.active & ~sor_fail & (d < march_eps)
+        step = jnp.where(
+            sor_fail, prev_r - step_len, jnp.where(conv_now, d, om * d)
+        )
+        budget = s.budget - jnp.where(s.active, step, 0.0)
+        miss = s.active & ~sor_fail & (budget <= 0.0)
+        moved = s.active & ~miss
+
+        new_state = MarchState(
+            t=jnp.where(moved, s.t + step, s.t),
+            budget=budget,
+            active=moved & ~conv_now,
+            converged=s.converged | conv_now,
+            steps=s.steps + 1,
+        )
+        prev_r = jnp.where(moved & ~sor_fail, d, prev_r)
+        step_len = jnp.where(moved, step, step_len)
+        # Drop to plain stepping for exactly one step after a failure, then
+        # re-arm (a permanent drop, as in the original formulation, forfeits
+        # the whole remaining tail after a single overshoot — measured to
+        # erase the win on deep silhouette stragglers). The fail->plain pair
+        # guarantees forward progress, so this cannot livelock.
+        om = jnp.where(sor_fail, 1.0, float(omega))
+        return new_state, prev_r, step_len, om
+
+    final, _, _, _ = jax.lax.while_loop(cond, body, (state, prev_r, step_len, om))
+    return final

@@ -124,6 +124,14 @@ class RenderConfig:
     coarse_eps: float = 0.05
     mid_eps: float = 0.0
 
+    # Over-relaxed sphere tracing (Keinert et al. 2014): active rays step
+    # omega*d and backtrack to the previous plain-step position when
+    # consecutive safety spheres stop overlapping (ops/march.py,
+    # march_stage_relaxed — provably miss-free under the same 1-Lipschitz
+    # assumption plain sphere tracing makes). Applied on the staged mixed
+    # path only; "full" keeps exact reference stepping. 0/1 disables.
+    relax_omega: float = 0.0
+
     # Run terminal rungs (steps=0) whose bucket fits `tail_pallas_max` rays
     # inside the Pallas megakernel (pallas/megakernel.py): thousands of
     # sequential tiny-batch steps are XLA-loop latency-bound, but run at

@@ -62,3 +62,50 @@ def test_overflow_capacity_drops_excess():
     idx, valid = compaction.compact_indices(mask, 4)
     np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
     np.testing.assert_array_equal(np.asarray(valid), [True] * 4)
+
+
+def test_sort_pack_leaves_basic(rng):
+    n = 257
+    mask_np = rng.random(n) < 0.3
+    mask = jnp.asarray(mask_np)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    vals = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    flags = jnp.asarray(rng.random(n) < 0.5)
+    p_pos, p_vals, p_flags = compaction.sort_pack_leaves(mask, (pos, vals, flags))
+    want = np.nonzero(mask_np)[0]
+    k = len(want)
+    # stable: active lanes first, original order preserved in both groups
+    np.testing.assert_array_equal(np.asarray(p_pos[:k]), want)
+    np.testing.assert_array_equal(np.asarray(p_pos[k:]), np.nonzero(~mask_np)[0])
+    np.testing.assert_allclose(np.asarray(p_vals), np.asarray(vals)[np.asarray(p_pos)])
+    np.testing.assert_array_equal(np.asarray(p_flags), np.asarray(flags)[np.asarray(p_pos)])
+
+
+def test_sort_pack_within_prefix(rng):
+    """within=k reorders only the first k lanes; suffix passes through."""
+    n, k = 300, 128
+    mask_np = np.zeros(n, bool)
+    mask_np[: k] = rng.random(k) < 0.4
+    mask = jnp.asarray(mask_np)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    vals = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    p_pos, p_vals = compaction.sort_pack_leaves(mask, (pos, vals), within=k)
+    want = np.nonzero(mask_np)[0]
+    np.testing.assert_array_equal(np.asarray(p_pos[: len(want)]), want)
+    np.testing.assert_array_equal(np.asarray(p_pos[k:]), np.arange(k, n))
+    np.testing.assert_allclose(np.asarray(p_vals), np.asarray(vals)[np.asarray(p_pos)])
+
+
+def test_sort_pack_restore_roundtrip(rng):
+    """Any number of packs followed by one restore returns image order."""
+    n = 400
+    pos = jnp.arange(n, dtype=jnp.int32)
+    vals = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    flags = jnp.asarray(rng.random(n) < 0.5)
+    leaves = (pos, vals, flags)
+    for p in (0.3, 0.6, 0.1):
+        mask = jnp.asarray(rng.random(n) < p)
+        leaves = compaction.sort_pack_leaves(mask, leaves)
+    r_vals, r_flags = compaction.sort_restore_leaves(leaves[0], leaves[1:])
+    np.testing.assert_allclose(np.asarray(r_vals), np.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(r_flags), np.asarray(flags))

@@ -111,3 +111,53 @@ def test_jit_and_grad_through_unrolled():
     g = jax.grad(loss)(0.9)
     # t_hit = 2 - radius -> dt/dr = -1
     np.testing.assert_allclose(float(g), -1.0, atol=1e-3)
+
+
+def test_relaxed_march_matches_plain():
+    """Over-relaxed sphere tracing (march_stage_relaxed) must find exactly the
+    same hit set as plain stepping on a Lipschitz SDF, in fewer iterations,
+    with hit positions within a few eps of the surface. Grazing rays (near
+    the silhouette at asin(0.45)=0.4668 rad) are where the deep-step tail
+    lives and where relaxation pays; head-on rays converge in a handful of
+    steps either way (and can even oscillate once under relaxation)."""
+    origin = jnp.array([0.0, 0.0, 2.0])
+    k = 41
+    angles = jnp.linspace(0.40, 0.4665, k)
+    dirs = jnp.stack([jnp.sin(angles), jnp.zeros(k), -jnp.cos(angles)], axis=-1)
+    f = lambda p: sdf.sphere(p, 0.9)
+
+    st0 = march.init_state(origin, dirs, (0.0, 0.0, 0.0), 1.2)
+    plain = march.march_stage(
+        f, origin, dirs, st0, num_steps=2000, max_steps=2000, march_eps=1e-6
+    )
+    rel = march.march_stage(
+        f, origin, dirs, st0, num_steps=2000, max_steps=2000, march_eps=1e-6,
+        relax_omega=1.6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.converged), np.asarray(rel.converged)
+    )
+    assert int(rel.steps) < int(plain.steps)
+    both = np.asarray(plain.converged)
+    # both land within ~eps-scale of the analytic sphere hit t = 2cos - sqrt(...)
+    d = np.abs(np.asarray(plain.t) - np.asarray(rel.t))[both]
+    assert d.max() < 1e-4
+
+
+def test_relaxed_budget_miss_parity():
+    """Rays that exhaust their budget must miss under relaxation too (the
+    budget decrements by distance actually traveled, backtracks refund)."""
+    origin = jnp.array([0.0, 0.0, 2.0])
+    # grazing ray that never hits: closest approach 2*sin(0.48) = 0.923 > 0.9
+    dirs = jnp.array([[jnp.sin(0.48), 0.0, -jnp.cos(0.48)]], dtype=jnp.float32)
+    f = lambda p: sdf.sphere(p, 0.9)
+    st0 = march.init_state(origin, dirs, (0.0, 0.0, 0.0), 1.2)
+    plain = march.march_stage(
+        f, origin, dirs, st0, num_steps=4000, max_steps=4000, march_eps=1e-6
+    )
+    rel = march.march_stage(
+        f, origin, dirs, st0, num_steps=4000, max_steps=4000, march_eps=1e-6,
+        relax_omega=1.6,
+    )
+    assert not bool(plain.converged[0]) and not bool(rel.converged[0])
+    assert not bool(plain.active[0]) and not bool(rel.active[0])
