@@ -276,6 +276,8 @@ def _run_schedule(
                     max_steps=config.max_steps,
                     march_eps=eps,
                     relax_omega=relax,
+                    newton=config.relax_newton,
+                    omega_max=config.relax_omega_max,
                 )
                 pr, steps = _pr_merge(pr, state), state.steps
             continue
@@ -294,6 +296,8 @@ def _run_schedule(
                 max_steps=config.max_steps,
                 march_eps=eps,
                 relax_omega=relax,
+                newton=config.relax_newton,
+                omega_max=config.relax_omega_max,
             )
         pr, steps = _pr_merge(pr, sub), sub.steps
         within = cap
@@ -373,6 +377,8 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
         max_steps=config.max_steps,
         march_eps=eps_a,
         relax_omega=relax,
+        newton=config.relax_newton,
+        omega_max=config.relax_omega_max,
     )
     pr, steps = _pack_init(state, dirs), state.steps
     pr, steps, within = _run_schedule(
@@ -430,16 +436,19 @@ def _refine_phase(
             pr._replace(active=near, converged=jnp.zeros_like(near)), near
         )
         sub, dirs_b = _pr_bucket(pr, cap, steps)
-        # No over-relaxation in the phase's first rung: its bulk is rays
-        # sitting ~coarse_eps from the surface head-on, where omega>1
-        # overshoots and backtracks every other step (measured +11 ms at
-        # 1080p). Later rungs hold the grazing stragglers relaxation is for.
+        # Constant over-relaxation is OFF in the phase's first rung: its bulk
+        # is rays sitting ~coarse_eps from the surface head-on, where a fixed
+        # omega>1 overshoots and backtracks every other step (measured +11 ms
+        # at 1080p). Newton-adaptive relaxation has no such pathology (g~1
+        # head-on -> plain steps), so it stays on.
         sub = march.march_stage(
             f, origin, dirs_b, sub,
             num_steps=(config.max_steps if steps0 == 0 else steps0),
             max_steps=config.max_steps,
             march_eps=eps,
-            relax_omega=0.0,
+            relax_omega=(relax if config.relax_newton else 0.0),
+            newton=config.relax_newton,
+            omega_max=config.relax_omega_max,
         )
         pr, steps = _pr_merge(pr, sub), sub.steps
         within = cap
@@ -454,6 +463,8 @@ def _refine_phase(
             max_steps=config.max_steps,
             march_eps=eps,
             relax_omega=relax,
+            newton=config.relax_newton,
+            omega_max=config.relax_omega_max,
         )
         pr, steps = _pr_merge(pr, state), state.steps
         within = n

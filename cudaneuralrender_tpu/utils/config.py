@@ -130,7 +130,23 @@ class RenderConfig:
     # march_stage_relaxed — provably miss-free under the same 1-Lipschitz
     # assumption plain sphere tracing makes). Applied on the staged mixed
     # path only; "full" keeps exact reference stepping. 0/1 disables.
-    relax_omega: float = 0.0
+    # Measured on plane_1 at 1080p: identical hit set, -12 ms/frame at 1.6
+    # (1.9 thrashes: constant overshoot/backtrack). With relax_newton off it
+    # is not applied in the refine phase's first rung (see
+    # renderer._refine_phase).
+    relax_omega: float = 1.6
+
+    # Newton/secant-adaptive relaxation ("accelerated sphere tracing"): the
+    # per-ray step multiplier becomes clip(1/g, 1, relax_omega_max) where g
+    # is the secant slope of the SDF along the ray. MEASURED NEGATIVE, kept
+    # as an opt-in: on curved silhouettes the secant slope collapses near
+    # the closest approach, so 1/g leaps exactly where care is needed —
+    # grazing fan on the analytic sphere takes 334 loop iterations vs 144
+    # for constant omega=1.6 (backtrack thrash), and on the (non-Lipschitz)
+    # neural SDF the amplified oversteps tunnel through ~0.03% of
+    # silhouette hit pixels. Constant omega=1.6 keeps the hit set exact.
+    relax_newton: bool = False
+    relax_omega_max: float = 8.0
 
     # Run terminal rungs (steps=0) whose bucket fits `tail_pallas_max` rays
     # inside the Pallas megakernel (pallas/megakernel.py): thousands of
