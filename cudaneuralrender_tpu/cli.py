@@ -156,8 +156,34 @@ def main(argv=None) -> int:
 
     if args.spin:
         # Turntable (doABarrelRoll, main.cpp:470-478): 360 frames stepping
-        # both the camera yaw and the animation frame number.
+        # both the camera yaw and the animation frame number. Staged configs
+        # render pipelined in chunks (render_sequence: one host sync per
+        # chunk instead of per frame — the tunnel round trip costs ~26 ms).
         times = []
+        if cfg.march_impl == "staged":
+            chunk = 24
+            for start in range(0, 360, chunk):
+                idxs = list(range(start, min(start + chunk, 360)))
+                cams = [
+                    cnr.Camera.from_cli(rx=args.rx, ry=float(i), zoom=args.zoom)
+                    for i in idxs
+                ]
+                t0 = time.perf_counter()
+                rgbas = cnr.render_sequence(
+                    params, cams, cfg, renderer.matcap,
+                    frames=[float(i) for i in idxs],
+                )
+                times.append((time.perf_counter() - t0) / len(idxs))
+                for i, rgba in zip(idxs, rgbas):
+                    img = image_io.to_uint8_image(
+                        np.asarray(rgba), parity_flip=args.parity_flip
+                    )
+                    image_io.save_png(f"{out_prefix}_{i:03d}.png", img)
+            print(
+                f"turntable done: 360 frames, mean {np.mean(times[1:]):.3f}s/frame"
+                " (pipelined)"
+            )
+            return 0
         for i in range(360):
             cam = cnr.Camera.from_cli(rx=args.rx, ry=float(i), zoom=args.zoom)
             path = f"{out_prefix}_{i:03d}.png"

@@ -719,6 +719,60 @@ def render_staged(
     )
 
 
+def render_sequence(
+    params: Optional[MLPParams],
+    cameras,
+    config: RenderConfig,
+    matcap: Optional[jax.Array] = None,
+    frames=None,
+    *,
+    stats_out: Optional[list] = None,
+):
+    """Pipelined multi-frame rendering — ONE host sync for the whole batch.
+
+    Over a remote-tunnel TPU every host round trip costs ~26 ms
+    (benchmarks/exp_relax.py), and ``render_staged`` pays one per frame for
+    its fast-path stats check. Here every frame's program is dispatched
+    asynchronously (JAX queues them on-device), the per-frame stats vectors
+    are stacked ON DEVICE, and a single fetch drains the pipeline. Frames
+    whose stats flag a slow path (bucket overflow / leftover budget — rare)
+    are re-rendered individually through ``render_staged``.
+
+    This is the turntable/serving mode: the reference's doABarrelRoll
+    (src/main.cpp:470-478) renders 360 such frames back to back.
+
+    Returns a list of [H,W,4] device arrays.
+    """
+    if frames is None:
+        frames = [0.0] * len(cameras)
+    queued = []
+    for cam, fr in zip(cameras, frames):
+        rgba, _, stats = _render_scheduled(
+            params, cam, config, matcap, jnp.asarray(fr, jnp.float32)
+        )
+        queued.append((rgba, stats))
+    all_stats = np.asarray(jnp.stack([s for _, s in queued]))  # one sync
+
+    n_rays = config.num_rays
+    shade_cap = max(n_rays // config.shade_div, config.compact_min)
+    out = []
+    for (rgba, _), st, cam, fr in zip(queued, all_stats, cameras, frames):
+        active_count, steps_done, hit_count, refine_overflow = (int(v) for v in st)
+        fast = (
+            refine_overflow == 0
+            and (active_count == 0 or steps_done >= config.max_steps)
+            and (shade_cap >= n_rays or hit_count <= shade_cap)
+        )
+        if stats_out is not None:
+            stats_out.append(
+                dict(rays=n_rays, steps=steps_done, hits=hit_count,
+                     unresolved=active_count, refine_overflow=refine_overflow,
+                     fast_path=fast)
+            )
+        out.append(rgba if fast else render_staged(params, cam, config, matcap, fr))
+    return out
+
+
 class Renderer:
     """Stateful convenience wrapper (jit cache + assets), the API surface a
     user of the reference's neuralSDFRenderer binary would reach for."""

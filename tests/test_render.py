@@ -134,3 +134,18 @@ def test_tetrahedron_normal_mode_close_to_autodiff(plane1_params):
     )
     mask = ad[..., 3] > 0
     assert np.abs(ad[mask] - fd[mask]).mean() < 0.02
+
+
+def test_render_sequence_matches_staged(plane1_params):
+    """Pipelined multi-frame rendering must be bit-identical to per-frame
+    render_staged (same compiled program, one deferred stats sync)."""
+    cfg = cnr.RenderConfig(width=48, height=48, scene="neural_raw", max_steps=300,
+                           march_impl="staged")
+    cams = [cnr.Camera(rotation_y=float(r)) for r in (0.0, 40.0, 80.0)]
+    stats = []
+    outs = cnr.render_sequence(plane1_params, cams, cfg, stats_out=stats)
+    assert len(outs) == 3 and len(stats) == 3
+    for cam, out, st in zip(cams, outs, stats):
+        ref = cnr.render_staged(plane1_params, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert st["rays"] == 48 * 48
