@@ -60,6 +60,7 @@ def _march_megakernel(
     march_eps: float,
     use_tanh: bool,
     precision=jax.lax.Precision.HIGHEST,
+    num_steps: int | None = None,
 ):
     dirs = dirs_ref[:]
     origin = origin_ref[:]
@@ -79,9 +80,16 @@ def _march_megakernel(
             d = jnp.tanh(d)
         return d
 
+    start = steps0_ref[0, 0].astype(jnp.int32)
+
     def cond(carry):
         step, t, budget, active, conv = carry
-        return (step < max_steps) & (jnp.sum(active) > 0.0)
+        go = (step < max_steps) & (jnp.sum(active) > 0.0)
+        if num_steps is not None:
+            # Bounded rung (staged-schedule building block): advance at most
+            # num_steps from the entry step count, like march.march_stage.
+            go = go & (step - start < num_steps)
+        return go
 
     def body(carry):
         # Same update order as singleMarch (volumeRender_kernel.cu:459-476):
@@ -123,6 +131,7 @@ def march_pallas_state(
     interpret: bool = False,
     march_eps: float | None = None,
     precision=jax.lax.Precision.HIGHEST,
+    num_steps: int | None = None,
 ) -> march.MarchState:
     """Continue an existing march state inside the megakernel.
 
@@ -155,6 +164,7 @@ def march_pallas_state(
         march_eps=config.march_eps if march_eps is None else march_eps,
         use_tanh=use_tanh,
         precision=precision,
+        num_steps=num_steps,
     )
 
     row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -192,15 +202,22 @@ def march_pallas_state(
         biases,
     )
 
-    # steps taken inside the kernel varies per tile; report the max bound the
-    # caller can rely on (max_steps) only when rays remain active. For the
-    # staged renderer's accounting the exact count is not needed — exiting
-    # with no active rays ends the march.
-    new_steps = jnp.where(
-        jnp.any(active[0, :n] > 0.5),
-        jnp.asarray(config.max_steps, jnp.int32),
-        state.steps,
-    )
+    # steps taken inside the kernel varies per tile. Unbounded (terminal)
+    # rungs exit only when dry or at max_steps, so actives remaining implies
+    # max_steps was hit; bounded rungs ran exactly num_steps while actives
+    # remained. Either way the reported counter stays a bound the staged
+    # scheduler's schedule_ok check can rely on.
+    if num_steps is None:
+        new_steps = jnp.where(
+            jnp.any(active[0, :n] > 0.5),
+            jnp.asarray(config.max_steps, jnp.int32),
+            state.steps,
+        )
+    else:
+        new_steps = jnp.minimum(
+            state.steps + jnp.asarray(num_steps, jnp.int32),
+            jnp.asarray(config.max_steps, jnp.int32),
+        )
     return march.MarchState(
         t=t_arr[0, :n],
         budget=budget[0, :n],

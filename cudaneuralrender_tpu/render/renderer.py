@@ -173,11 +173,45 @@ def _tail_kernel_fn(params, config: RenderConfig, frame):
     if not config.tail_pallas or config.scene not in ("neural_raw", "neural_tanh"):
         return None
     from ..pallas import megakernel
+    from ..pallas.fused_mlp import should_interpret
 
     def run(sub: march.MarchState, sub_dirs, origin, eps, precision):
         return megakernel.march_pallas_state(
             params, origin, sub_dirs, sub, config, frame,
             tile=sub_dirs.shape[0], march_eps=eps, precision=precision,
+            interpret=should_interpret(),
+        )
+
+    return run
+
+
+def _rung0_kernel_fn(params, config: RenderConfig, frame, relax: float):
+    """Megakernel for the refine phase's FIRST rung, or None.
+
+    That rung — the near-surface bucket marched a fixed number of HIGHEST
+    steps — is the frame's hottest block (N/4 lanes x 32 steps) and is
+    HBM-bandwidth-bound in XLA: every step round-trips the [cap, 32]
+    activations. In-kernel the whole 32-step loop keeps weights,
+    activations, and ray state VMEM-resident: measured 49 vs 64 ms on the
+    1080p bucket (518k rays), bit-level t parity (max |dt| ~1e-6, hit set
+    within 0.013% — epsilon-boundary ties). Applies when the rung steps
+    plainly (constant-relax mode keeps omega off in this rung anyway) on a
+    pure neural scene; the flag refine_pallas opts out.
+    """
+    if (
+        not config.refine_pallas
+        or config.scene not in ("neural_raw", "neural_tanh")
+        or (relax and config.relax_newton)
+    ):
+        return None
+    from ..pallas import megakernel
+    from ..pallas.fused_mlp import should_interpret
+
+    def run(sub: march.MarchState, sub_dirs, origin, eps, precision, num_steps):
+        return megakernel.march_pallas_state(
+            params, origin, sub_dirs, sub, config, frame,
+            tile=8192, march_eps=eps, precision=precision,
+            num_steps=num_steps, interpret=should_interpret(),
         )
 
     return run
@@ -405,6 +439,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
             pr, steps, within, ovf = _refine_phase(
                 f_p, origin, pr, steps, config, eps, precision=prec,
                 tail_kernel=tk, relax=relax,
+                rung0_kernel=_rung0_kernel_fn(params, config, frame, relax),
             )
             refine_overflow = jnp.maximum(refine_overflow, ovf)
     return pr, steps, within, refine_overflow
@@ -412,7 +447,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
 
 def _refine_phase(
     f, origin, pr: PackedRays, steps, config: RenderConfig, eps, *,
-    precision, tail_kernel, relax: float = 0.0,
+    precision, tail_kernel, relax: float = 0.0, rung0_kernel=None,
 ):
     """One ladder phase: re-mark the near-surface set (converged-or-active)
     active, sort it into the first refine rung's bucket, march, then drain
@@ -441,15 +476,21 @@ def _refine_phase(
         # omega>1 overshoots and backtracks every other step (measured +11 ms
         # at 1080p). Newton-adaptive relaxation has no such pathology (g~1
         # head-on -> plain steps), so it stays on.
-        sub = march.march_stage(
-            f, origin, dirs_b, sub,
-            num_steps=(config.max_steps if steps0 == 0 else steps0),
-            max_steps=config.max_steps,
-            march_eps=eps,
-            relax_omega=(relax if config.relax_newton else 0.0),
-            newton=config.relax_newton,
-            omega_max=config.relax_omega_max,
-        )
+        if rung0_kernel is not None and precision == jax.lax.Precision.HIGHEST:
+            sub = rung0_kernel(
+                sub, dirs_b, origin, eps, precision,
+                (config.max_steps if steps0 == 0 else steps0),
+            )
+        else:
+            sub = march.march_stage(
+                f, origin, dirs_b, sub,
+                num_steps=(config.max_steps if steps0 == 0 else steps0),
+                max_steps=config.max_steps,
+                march_eps=eps,
+                relax_omega=(relax if config.relax_newton else 0.0),
+                newton=config.relax_newton,
+                omega_max=config.relax_omega_max,
+            )
         pr, steps = _pr_merge(pr, sub), sub.steps
         within = cap
         overflow = jnp.maximum(refine_count - cap, 0)

@@ -151,9 +151,17 @@ class RenderConfig:
     # Run terminal rungs (steps=0) whose bucket fits `tail_pallas_max` rays
     # inside the Pallas megakernel (pallas/megakernel.py): thousands of
     # sequential tiny-batch steps are XLA-loop latency-bound, but run at
-    # VMEM speed in-kernel. Neural scenes only.
+    # VMEM speed in-kernel. Neural scenes only. Measured NEUTRAL at the
+    # shipped schedule's 8k terminal bucket (184 vs 177 ms) — off.
     tail_pallas: bool = False
     tail_pallas_max: int = 16384
+
+    # Run the refine phase's FIRST rung (the frame's hottest block: the
+    # near-surface bucket x fixed HIGHEST steps) inside the megakernel with
+    # VMEM-resident state — the XLA loop round-trips the [cap, 32]
+    # activations through HBM every step. Measured 49 vs 64 ms on the 1080p
+    # bucket. Neural scenes at HIGHEST only; harmless no-op otherwise.
+    refine_pallas: bool = True
 
     # Baked-distance-grid empty-space skipping (ops/grid.py). MEASURED SLOW
     # on TPU (5.5 s vs 0.33 s per 1080p frame): the 8-tap trilinear gather
