@@ -52,6 +52,7 @@ def _march_megakernel(
     conv_out,      # [1, T] float mask
     budget_out,    # [1, T]
     active_out,    # [1, T] float mask: unresolved at exit
+    steps_out,     # [1, T] float: loop iterations at exit (same per tile)
     *,
     n_layers: int,
     hidden: int,
@@ -112,11 +113,12 @@ def _march_megakernel(
         active0_ref[:],
         jnp.zeros_like(active0_ref[:]),
     )
-    _, t, budget, active, conv = jax.lax.while_loop(cond, body, init)
+    step, t, budget, active, conv = jax.lax.while_loop(cond, body, init)
     t_out[:] = t
     conv_out[:] = conv
     budget_out[:] = budget
     active_out[:] = active
+    steps_out[:] = jnp.broadcast_to(step.astype(jnp.float32), active.shape)
 
 
 def march_pallas_state(
@@ -168,9 +170,10 @@ def march_pallas_state(
     )
 
     row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    t_arr, conv, budget, active = pl.pallas_call(
+    t_arr, conv, budget, active, steps_arr = pl.pallas_call(
         kernel,
         out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
@@ -188,7 +191,7 @@ def march_pallas_state(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
         ],
-        out_specs=(row_spec(), row_spec(), row_spec(), row_spec()),
+        out_specs=(row_spec(), row_spec(), row_spec(), row_spec(), row_spec()),
         interpret=interpret,
     )(
         dirs_t,
@@ -208,11 +211,9 @@ def march_pallas_state(
     # remained. Either way the reported counter stays a bound the staged
     # scheduler's schedule_ok check can rely on.
     if num_steps is None:
-        new_steps = jnp.where(
-            jnp.any(active[0, :n] > 0.5),
-            jnp.asarray(config.max_steps, jnp.int32),
-            state.steps,
-        )
+        # Run-to-dry: the scheduler's global counter advances by the deepest
+        # tile's actual iteration count (the kernel reports it per lane).
+        new_steps = jnp.max(steps_arr[0, :n]).astype(jnp.int32)
     else:
         new_steps = jnp.minimum(
             state.steps + jnp.asarray(num_steps, jnp.int32),

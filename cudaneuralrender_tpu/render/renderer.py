@@ -405,20 +405,44 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
             bound=gbound, max_steps=config.max_steps,
         )
     relax = config.relax_omega if mixed else 0.0
-    state = march.march_stage(
-        coarse, origin, dirs, state,
-        num_steps=config.stage_steps,
-        max_steps=config.max_steps,
-        march_eps=eps_a,
-        relax_omega=relax,
-        newton=config.relax_newton,
-        omega_max=config.relax_omega_max,
+    use_coarse_kernel = (
+        mixed
+        and config.coarse_pallas
+        and config.scene in ("neural_raw", "neural_tanh")
     )
-    pr, steps = _pack_init(state, dirs), state.steps
-    pr, steps, within = _run_schedule(
-        coarse, origin, pr, steps, schedule_a, config, eps_a,
-        precision=prec_a, tail_kernel=tail_kernel, relax=relax, within=None,
-    )
+    if use_coarse_kernel:
+        # Whole coarse phase as ONE megakernel pass over the full image:
+        # each ray tile marches to coarse_eps with weights/activations/state
+        # VMEM-resident and exits the moment its own rays are dry — sky
+        # tiles die in a handful of steps, object tiles in ~30. This
+        # replaces the dense XLA prefix + sort + coarse bucket rung
+        # (measured 27 -> ~8 ms at 1080p); per-tile early exit is the
+        # compaction, so phase A needs no sort at all.
+        from ..pallas import megakernel
+        from ..pallas.fused_mlp import should_interpret
+
+        state = megakernel.march_pallas_state(
+            params, origin, dirs, state, config, frame,
+            tile=8192, march_eps=eps_a,
+            precision=jax.lax.Precision.DEFAULT,
+            interpret=should_interpret(),
+        )
+        pr, steps, within = _pack_init(state, dirs), state.steps, None
+    else:
+        state = march.march_stage(
+            coarse, origin, dirs, state,
+            num_steps=config.stage_steps,
+            max_steps=config.max_steps,
+            march_eps=eps_a,
+            relax_omega=relax,
+            newton=config.relax_newton,
+            omega_max=config.relax_omega_max,
+        )
+        pr, steps = _pack_init(state, dirs), state.steps
+        pr, steps, within = _run_schedule(
+            coarse, origin, pr, steps, schedule_a, config, eps_a,
+            precision=prec_a, tail_kernel=tail_kernel, relax=relax, within=None,
+        )
 
     refine_overflow = jnp.zeros((), jnp.int32)
     if mixed:

@@ -163,6 +163,12 @@ class RenderConfig:
     # bucket. Neural scenes at HIGHEST only; harmless no-op otherwise.
     refine_pallas: bool = True
 
+    # Run the whole coarse phase (mixed mode) as one run-to-dry megakernel
+    # pass over the full image at DEFAULT precision: per-tile early exit IS
+    # the compaction (sky tiles die in a few steps), so phase A needs no
+    # dense prefix, no sort, no bucket rung. Measured 27 -> ~8 ms at 1080p.
+    coarse_pallas: bool = True
+
     # Baked-distance-grid empty-space skipping (ops/grid.py). MEASURED SLOW
     # on TPU (5.5 s vs 0.33 s per 1080p frame): the 8-tap trilinear gather
     # over 2M dynamic indices is XLA-gather-bound — TPUs have no fast
