@@ -295,7 +295,7 @@ def march_stage_relaxed(
         # reference instead of backtracking.
         overstepped = step_len > prev_r
         sor_fail = s.active & overstepped & (d + prev_r < step_len)
-        conv_now = s.active & ~sor_fail & (d < march_eps)
+        near = s.active & ~sor_fail & (d < march_eps)
 
         if newton:
             # Secant slope of d along the ray from the last two samples.
@@ -315,11 +315,15 @@ def march_stage_relaxed(
             om = jnp.where(step_len < 0.0, 1.0, float(omega))
 
         step = jnp.where(
-            sor_fail, prev_r - step_len, jnp.where(conv_now, d, om * d)
+            sor_fail, prev_r - step_len, jnp.where(near, d, om * d)
         )
         budget = s.budget - jnp.where(s.active, step, 0.0)
         miss = s.active & ~sor_fail & (budget <= 0.0)
         moved = s.active & ~miss
+        # Budget check precedes convergence, like the reference
+        # (volumeRender_kernel.cu:463-476): a ray that exhausts its budget
+        # never moves and never converges, even if d < eps this step.
+        conv_now = moved & near
 
         new_state = MarchState(
             t=jnp.where(moved, s.t + step, s.t),

@@ -62,10 +62,12 @@ def _march_megakernel(
     use_tanh: bool,
     precision=jax.lax.Precision.HIGHEST,
     num_steps: int | None = None,
+    relax_omega: float = 0.0,
 ):
     dirs = dirs_ref[:]
     origin = origin_ref[:]
     T = dirs.shape[1]
+    relax = bool(relax_omega and relax_omega > 1.0)
 
     def sdf(t):
         pts = origin + dirs * t  # [3, T]
@@ -84,7 +86,7 @@ def _march_megakernel(
     start = steps0_ref[0, 0].astype(jnp.int32)
 
     def cond(carry):
-        step, t, budget, active, conv = carry
+        step, t, budget, active, conv = carry[:5]
         go = (step < max_steps) & (jnp.sum(active) > 0.0)
         if num_steps is not None:
             # Bounded rung (staged-schedule building block): advance at most
@@ -95,25 +97,51 @@ def _march_megakernel(
     def body(carry):
         # Same update order as singleMarch (volumeRender_kernel.cu:459-476):
         # budget check before the move, convergence after it.
-        step, t, budget, active, conv = carry
+        step, t, budget, active, conv = carry[:5]
         d = sdf(t)
-        budget = budget - jnp.where(active > 0, d, 0.0)
-        miss = (active > 0) & (budget <= 0.0)
-        moved = (active > 0) & ~miss
-        t = jnp.where(moved, t + d, t)
-        conv_now = moved & (d < march_eps)
+        act = active > 0
+        if relax:
+            # Constant over-relaxed stepping, mirroring
+            # march.march_stage_relaxed (see its docstring for the safety
+            # argument): overstep omega*d, backtrack to the previous
+            # plain-step position when safety spheres stop overlapping,
+            # plain for one step after a failure.
+            prev_r, step_len = carry[5:]
+            sor_fail = act & (step_len > prev_r) & (d + prev_r < step_len)
+            near = act & ~sor_fail & (d < march_eps)
+            om = jnp.where(step_len < 0.0, 1.0, float(relax_omega))
+            stepv = jnp.where(
+                sor_fail, prev_r - step_len, jnp.where(near, d, om * d)
+            )
+        else:
+            sor_fail = jnp.zeros_like(act)
+            near = act & (d < march_eps)
+            stepv = d
+        budget = budget - jnp.where(act, stepv, 0.0)
+        miss = act & ~sor_fail & (budget <= 0.0)
+        moved = act & ~miss
+        t = jnp.where(moved, t + stepv, t)
+        conv_now = moved & near
         active = (moved & ~conv_now).astype(jnp.float32)
         conv = jnp.where(conv_now, 1.0, conv)
-        return step + 1, t, budget, active, conv
+        out = (step + 1, t, budget, active, conv)
+        if relax:
+            prev_r = jnp.where(moved & ~sor_fail, d, prev_r)
+            step_len = jnp.where(moved, stepv, step_len)
+            out = out + (prev_r, step_len)
+        return out
 
     init = (
-        steps0_ref[0, 0].astype(jnp.int32),
+        start,
         t0_ref[:],
         budget0_ref[:],
         active0_ref[:],
         jnp.zeros_like(active0_ref[:]),
     )
-    step, t, budget, active, conv = jax.lax.while_loop(cond, body, init)
+    if relax:
+        init = init + (jnp.zeros_like(t0_ref[:]), jnp.zeros_like(t0_ref[:]))
+    final = jax.lax.while_loop(cond, body, init)
+    step, t, budget, active, conv = final[:5]
     t_out[:] = t
     conv_out[:] = conv
     budget_out[:] = budget
@@ -134,6 +162,7 @@ def march_pallas_state(
     march_eps: float | None = None,
     precision=jax.lax.Precision.HIGHEST,
     num_steps: int | None = None,
+    relax_omega: float = 0.0,
 ) -> march.MarchState:
     """Continue an existing march state inside the megakernel.
 
@@ -167,6 +196,7 @@ def march_pallas_state(
         use_tanh=use_tanh,
         precision=precision,
         num_steps=num_steps,
+        relax_omega=relax_omega,
     )
 
     row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)

@@ -185,18 +185,17 @@ def _tail_kernel_fn(params, config: RenderConfig, frame):
     return run
 
 
-def _rung0_kernel_fn(params, config: RenderConfig, frame, relax: float):
-    """Megakernel for the refine phase's FIRST rung, or None.
+def _rung_kernel_fn(params, config: RenderConfig, frame, relax: float):
+    """Megakernel for the refine phase's rungs, or None.
 
-    That rung — the near-surface bucket marched a fixed number of HIGHEST
-    steps — is the frame's hottest block (N/4 lanes x 32 steps) and is
-    HBM-bandwidth-bound in XLA: every step round-trips the [cap, 32]
-    activations. In-kernel the whole 32-step loop keeps weights,
-    activations, and ray state VMEM-resident: measured 49 vs 64 ms on the
-    1080p bucket (518k rays), bit-level t parity (max |dt| ~1e-6, hit set
-    within 0.013% — epsilon-boundary ties). Applies when the rung steps
-    plainly (constant-relax mode keeps omega off in this rung anyway) on a
-    pure neural scene; the flag refine_pallas opts out.
+    The refine rungs — packed buckets marched a fixed number of HIGHEST
+    steps (or to dry) — are HBM-bandwidth-bound in XLA: every step
+    round-trips the [cap, 32] activations. In-kernel the whole rung loop
+    keeps weights, activations, and ray state VMEM-resident: measured 49 vs
+    64 ms on the first rung's 1080p bucket (518k rays x 32 steps), t parity
+    to ~1e-6 (hit set within 0.013% — epsilon-boundary ties). The kernel
+    implements plain and constant-relaxed stepping; Newton mode stays in
+    XLA. refine_pallas opts out; CSG scenes always use XLA.
     """
     if (
         not config.refine_pallas
@@ -207,11 +206,13 @@ def _rung0_kernel_fn(params, config: RenderConfig, frame, relax: float):
     from ..pallas import megakernel
     from ..pallas.fused_mlp import should_interpret
 
-    def run(sub: march.MarchState, sub_dirs, origin, eps, precision, num_steps):
+    def run(sub: march.MarchState, sub_dirs, origin, eps, precision, num_steps,
+            relax_omega=0.0):
         return megakernel.march_pallas_state(
             params, origin, sub_dirs, sub, config, frame,
-            tile=8192, march_eps=eps, precision=precision,
-            num_steps=num_steps, interpret=should_interpret(),
+            tile=min(8192, sub_dirs.shape[0]), march_eps=eps,
+            precision=precision, num_steps=num_steps,
+            relax_omega=relax_omega, interpret=should_interpret(),
         )
 
     return run
@@ -279,6 +280,7 @@ def _pr_merge(pr: PackedRays, sub: march.MarchState) -> PackedRays:
 def _run_schedule(
     f, origin, pr: PackedRays, steps, schedule, config: RenderConfig, eps, *,
     precision=None, tail_kernel=None, relax: float = 0.0, within=None,
+    rung_kernel=None,
 ):
     """Sort→march-prefix compaction rungs over the packed bundle.
 
@@ -321,7 +323,13 @@ def _run_schedule(
             tail_kernel is not None and rung_steps == 0
             and cap <= config.tail_pallas_max
         )
-        if use_tail:
+        if rung_kernel is not None and precision == jax.lax.Precision.HIGHEST:
+            sub = rung_kernel(
+                sub, dirs_b, origin, eps, precision,
+                (None if rung_steps == 0 else rung_steps),
+                relax_omega=relax,
+            )
+        elif use_tail:
             sub = tail_kernel(sub, dirs_b, origin, eps, precision)
         else:
             sub = march.march_stage(
@@ -463,7 +471,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
             pr, steps, within, ovf = _refine_phase(
                 f_p, origin, pr, steps, config, eps, precision=prec,
                 tail_kernel=tk, relax=relax,
-                rung0_kernel=_rung0_kernel_fn(params, config, frame, relax),
+                rung_kernel=_rung_kernel_fn(params, config, frame, relax),
             )
             refine_overflow = jnp.maximum(refine_overflow, ovf)
     return pr, steps, within, refine_overflow
@@ -471,7 +479,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
 
 def _refine_phase(
     f, origin, pr: PackedRays, steps, config: RenderConfig, eps, *,
-    precision, tail_kernel, relax: float = 0.0, rung0_kernel=None,
+    precision, tail_kernel, relax: float = 0.0, rung_kernel=None,
 ):
     """One ladder phase: re-mark the near-surface set (converged-or-active)
     active, sort it into the first refine rung's bucket, march, then drain
@@ -500,10 +508,10 @@ def _refine_phase(
         # omega>1 overshoots and backtracks every other step (measured +11 ms
         # at 1080p). Newton-adaptive relaxation has no such pathology (g~1
         # head-on -> plain steps), so it stays on.
-        if rung0_kernel is not None and precision == jax.lax.Precision.HIGHEST:
-            sub = rung0_kernel(
+        if rung_kernel is not None and precision == jax.lax.Precision.HIGHEST:
+            sub = rung_kernel(
                 sub, dirs_b, origin, eps, precision,
-                (config.max_steps if steps0 == 0 else steps0),
+                (None if steps0 == 0 else steps0),
             )
         else:
             sub = march.march_stage(
@@ -536,6 +544,7 @@ def _refine_phase(
     pr, steps, within = _run_schedule(
         f, origin, pr, steps, config.refine_schedule[1:], config, eps,
         precision=precision, tail_kernel=tail_kernel, relax=relax, within=within,
+        rung_kernel=rung_kernel,
     )
     return pr, steps, within, overflow
 
