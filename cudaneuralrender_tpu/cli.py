@@ -161,9 +161,19 @@ def main(argv=None) -> int:
         # chunk instead of per frame — the tunnel round trip costs ~26 ms).
         times = []
         if cfg.march_impl == "staged":
+            # Resume semantics (the reference numbers frames and a rerun
+            # overwrites; we skip frames already on disk so an interrupted
+            # turntable continues where it stopped — SURVEY.md §5
+            # checkpoint/resume row).
+            todo = [
+                i for i in range(360)
+                if not os.path.exists(f"{out_prefix}_{i:03d}.png")
+            ]
+            if len(todo) < 360:
+                print(f"turntable resume: {360 - len(todo)} frames already on disk")
             chunk = 24
-            for start in range(0, 360, chunk):
-                idxs = list(range(start, min(start + chunk, 360)))
+            for start in range(0, len(todo), chunk):
+                idxs = todo[start:start + chunk]
                 cams = [
                     cnr.Camera.from_cli(rx=args.rx, ry=float(i), zoom=args.zoom)
                     for i in idxs
@@ -179,8 +189,9 @@ def main(argv=None) -> int:
                         np.asarray(rgba), parity_flip=args.parity_flip
                     )
                     image_io.save_png(f"{out_prefix}_{i:03d}.png", img)
+            mean_s = float(np.mean(times[1:])) if len(times) > 1 else 0.0
             print(
-                f"turntable done: 360 frames, mean {np.mean(times[1:]):.3f}s/frame"
+                f"turntable done: 360 frames, mean {mean_s:.3f}s/frame"
                 " (pipelined)"
             )
             return 0
