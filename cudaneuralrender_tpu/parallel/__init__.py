@@ -5,7 +5,7 @@ rendering over jax.sharding (sharding.py), fault-tolerant band retry
 from . import fault, mesh, sharding
 from .fault import FaultInjector, render_tiled
 from .mesh import data_sharding, make_mesh, replicated, tp_mlp_shardings
-from .sharding import render_image_sharded
+from .sharding import pixel_train_step_sharded, render_image_sharded
 
 __all__ = [
     "FaultInjector",

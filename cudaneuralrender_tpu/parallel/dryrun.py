@@ -104,3 +104,16 @@ def run(n_devices: int) -> None:
     stacked, e_opt_state, e_loss = expert_step(stacked, e_opt_state, pts, target)
     jax.block_until_ready(e_loss)
     assert np.isfinite(float(e_loss))
+
+    # ---- config 5: tile-sharded differentiable render + grad all-reduce ---
+    from ..diff import train as train_lib
+    from .sharding import pixel_train_step_sharded
+
+    dmesh = mesh_lib.make_mesh((n_devices,), ("data",), devices)
+    r_params = mlp.init_mlp(jax.random.key(3))
+    r_cfg = RenderConfig(width=16, height=n_devices, scene="neural_raw", max_steps=16)
+    tgt = jnp.zeros((r_cfg.height, r_cfg.width, 4), jnp.float32)
+    r_state = train_lib.init_train_state(r_params)
+    r_state, r_loss = pixel_train_step_sharded(r_state, Camera(), tgt, r_cfg, dmesh)
+    jax.block_until_ready(r_loss)
+    assert np.isfinite(float(r_loss))

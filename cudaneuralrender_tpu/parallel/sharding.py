@@ -95,3 +95,88 @@ def render_image_sharded(
     )(params, origin, dirs, world_to_cam, matcap, frame)
 
     return rgba.reshape(config.height, config.width, 4)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "lr", "data_axis")
+)
+def pixel_train_step_sharded(
+    state,
+    camera: Camera,
+    target: jax.Array,
+    config: RenderConfig,
+    mesh: Mesh,
+    lr: float = 1e-3,
+    data_axis: str = "data",
+):
+    """One tile-sharded inverse-rendering step (BASELINE config 5).
+
+    Each chip marches its own ray tile (the sequence/context-parallel
+    analogue — rays are the sequence, no halo exchange, SURVEY.md §5),
+    reattaches gradients through the implicit surface (diff/implicit.py),
+    computes its tile's squared pixel error, and the weight gradients are
+    all-reduced over the mesh: params enter the shard_map replicated, so
+    their backward cotangents psum across the data axis — XLA schedules that
+    collective over ICI overlapped with the backward computation.
+
+    Returns (new_state, loss). Sharded gradients are exactly equal to the
+    single-device pixel_train_step gradients (tests/test_parallel.py).
+    """
+    import optax
+
+    from ..diff import train as train_lib
+    from ..diff.implicit import implicit_surface_t
+
+    n_shards = mesh.shape[data_axis]
+    if config.num_rays % n_shards:
+        raise ValueError(
+            f"rays ({config.num_rays}) not divisible by data axis ({n_shards})"
+        )
+
+    cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    tgt = target.reshape(-1, 4)
+    frame = jnp.zeros((), jnp.float32)
+
+    def tile_sse(params, origin, dirs, tgt, world_to_cam, frame):
+        f = scene_fn(params, config, frame)
+        params_sg = jax.lax.stop_gradient(params)
+        f_sg = scene_fn(params_sg, config, jax.lax.stop_gradient(frame))
+        result = march.sphere_trace(
+            f_sg,
+            jax.lax.stop_gradient(origin),
+            jax.lax.stop_gradient(dirs),
+            max_steps=config.max_steps,
+            march_eps=config.march_eps,
+            bound_center=config.bound_center,
+            bound_radius=config.bound_radius,
+        )
+        hit = jax.lax.stop_gradient(result.hit)
+        t = implicit_surface_t(f, origin, dirs, result.t)
+        points = origin + dirs * t[:, None]
+        colors = shading.shade(
+            f, points, dirs,
+            mode=config.shading, normal_mode=config.normal_mode,
+            normal_eps=config.normal_eps, world_to_cam=world_to_cam,
+        )
+        rgba = jnp.where(hit[:, None], colors, 0.0)
+        sse = jnp.sum((rgba - tgt) ** 2)
+        return jax.lax.psum(sse, data_axis)
+
+    def loss_fn(params):
+        sse = jax.shard_map(
+            tile_sse,
+            mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P(data_axis), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(params, origin, dirs, tgt, world_to_cam, frame)
+        return sse / tgt.size
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    opt = train_lib.make_optimizer(lr)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return train_lib.TrainState(params, opt_state, state.step + 1), loss

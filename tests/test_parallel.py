@@ -69,3 +69,29 @@ def test_dryrun_multichip(eight_devices):
 
 def test_dryrun_odd_device_count(eight_devices):
     dryrun.run(5)
+
+
+def test_pixel_train_step_sharded_matches_unsharded(eight_devices):
+    """BASELINE config 5: tile-sharded differentiable render with grad
+    all-reduce must produce exactly the single-device gradients/updates."""
+    from cudaneuralrender_tpu.diff import train as train_lib
+    from cudaneuralrender_tpu.parallel.sharding import pixel_train_step_sharded
+
+    m = mesh_lib.make_mesh((8,), ("data",), eight_devices)
+    params = cnr.load("/root/reference/neuralGeometries/plane_1.h5")
+    cfg = cnr.RenderConfig(width=16, height=16, scene="neural_raw", max_steps=64)
+    cam = cnr.Camera(rotation_y=20.0)
+    target = jnp.asarray(
+        np.asarray(cnr.render_image(params, cnr.Camera(rotation_y=24.0), cfg))
+    )
+
+    s0 = train_lib.init_train_state(params, lr=1e-3)
+    sh_state, sh_loss = pixel_train_step_sharded(s0, cam, target, cfg, m)
+    ref_state, ref_loss = train_lib.pixel_train_step(s0, cam, target, cfg)
+
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sh_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
