@@ -591,9 +591,14 @@ def _shade_packed(params, origin, pr: PackedRays, steps, world_to_cam,
     """Shade hit pixels in packed lane order, then restore image order.
 
     Hits sort into an N/shade_div prefix bucket, normals + colors run there,
-    and ONE final key-sort on ``pos`` returns both the rgba image and the
-    full-order march state (needed by the caller's rare continuation path).
-    Returns (rgba [H,W,4], state, hit_count) — the caller falls back to
+    and ONE final key-sort on ``pos`` returns the rgba image. Only the four
+    color channels ride the restore sort — the march state stays in packed
+    lane order (the caller's rare continuation path restores it lazily via
+    ``_restore_state``; a 9-operand full-image sort measured ~45% slower
+    than the 5-operand one, benchmarks/exp_shade2.py). ``within`` bounds
+    where converged lanes can live (the first refine rung's bucket in the
+    mixed path), shrinking the hit pack sort to bucket scale.
+    Returns (rgba [H,W,4], packed pr, hit_count) — the caller falls back to
     dense shading when hit_count exceeds the bucket (host check).
     """
     n = pr.pos.shape[0]
@@ -612,7 +617,7 @@ def _shade_packed(params, origin, pr: PackedRays, steps, world_to_cam,
         )
         colors = jnp.where(pr.converged[:, None], colors, 0.0)
     else:
-        pr = _pr_sort(pr, pr.converged, within=None)
+        pr = _pr_sort(pr, pr.converged, within=within)
         sub, sub_dirs = _pr_bucket(pr, cap, steps)
         points = origin + sub_dirs * sub.t[:, None]
         bucket_colors = shading.shade(
@@ -628,15 +633,23 @@ def _shade_packed(params, origin, pr: PackedRays, steps, world_to_cam,
 
     restored = compaction.sort_restore_leaves(
         pr.pos,
-        (pr.t, pr.budget, pr.active, pr.converged,
-         colors[:, 0], colors[:, 1], colors[:, 2], colors[:, 3]),
+        (colors[:, 0], colors[:, 1], colors[:, 2], colors[:, 3]),
     )
-    state = march.MarchState(
-        t=restored[0], budget=restored[1], active=restored[2],
-        converged=restored[3], steps=steps,
+    rgba = jnp.stack(restored, axis=-1).reshape(config.height, config.width, 4)
+    return rgba, pr, hit_count
+
+
+@jax.jit
+def _restore_state(pr: PackedRays, steps) -> march.MarchState:
+    """Restore a packed bundle's march state to image order (slow path only:
+    continuation stages index rays by image position)."""
+    t, budget, active, converged = compaction.sort_restore_leaves(
+        pr.pos, (pr.t, pr.budget, pr.active, pr.converged)
     )
-    rgba = jnp.stack(restored[4:8], axis=-1).reshape(config.height, config.width, 4)
-    return rgba, state, hit_count
+    return march.MarchState(
+        t=t, budget=budget, active=active, converged=converged,
+        steps=jnp.asarray(steps, jnp.int32),
+    )
 
 
 def _shade_body(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig, matcap, frame):
@@ -660,10 +673,12 @@ def _shade_body(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig
 def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, frame):
     """March + compacted shading as ONE compiled program.
 
-    Returns (rgba, state, stats) with stats = [active_count, steps_done,
-    hit_count] packed into one small array so the caller needs a single
-    host round trip to decide whether the fast path sufficed (remote-tunnel
-    TPUs pay ~100 ms per sync).
+    Returns (rgba, packed pr, stats) with stats = [active_count, steps_done,
+    hit_count, refine_overflow] packed into one small array so the caller
+    needs a single host round trip to decide whether the fast path sufficed
+    (remote-tunnel TPUs pay ~26 ms per sync). The march state comes back in
+    packed lane order; the rare continuation path restores it with
+    ``_restore_state``.
     """
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
@@ -672,19 +687,27 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
     pr, steps, within, refine_overflow = _scheduled_march.__wrapped__(
         params, origin, dirs, config, frame
     )
-    rgba, state, hit_count = _shade_packed(
+    # Converged lanes can only live inside the refine phase's first bucket
+    # (every ladder phase clears all converged flags and sorts the near set
+    # into that prefix) — bound the hit pack sort accordingly. The full
+    # precision path converges rays in place anywhere, so it sorts full-width.
+    conv_within = None
+    if config.march_precision == "mixed":
+        cap0 = max(config.num_rays // config.refine_schedule[0][0], config.compact_min)
+        conv_within = cap0 if cap0 < config.num_rays else None
+    rgba, pr, hit_count = _shade_packed(
         params, origin, pr, steps, world_to_cam, config, matcap, frame,
-        within=within,
+        within=conv_within,
     )
     stats = jnp.stack(
         [
-            jnp.sum(state.active.astype(jnp.int32)),
+            jnp.sum(pr.active.astype(jnp.int32)),
             steps,
             hit_count,
             refine_overflow,
         ]
     )
-    return rgba, state, stats
+    return rgba, pr, stats
 
 
 def render_staged(
@@ -712,7 +735,7 @@ def render_staged(
     """
     frame = jnp.asarray(frame, jnp.float32)
 
-    rgba, full, stats = _render_scheduled(params, camera, config, matcap, frame)
+    rgba, pr, stats = _render_scheduled(params, camera, config, matcap, frame)
     active_count, steps_done, hit_count, refine_overflow = (
         int(v) for v in np.asarray(stats)
     )
@@ -746,7 +769,9 @@ def render_staged(
 
     # Slow path (rare): the schedule under-provisioned a bucket, max_steps
     # wasn't exhausted inside the schedule, or more pixels hit than the
-    # shading bucket holds. Continue with host-driven stages + dense shade.
+    # shading bucket holds. Restore the packed state to image order and
+    # continue with host-driven stages + dense shade.
+    full = _restore_state(pr, steps_done)
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
