@@ -208,9 +208,18 @@ def _rung_kernel_fn(params, config: RenderConfig, frame, relax: float):
 
     def run(sub: march.MarchState, sub_dirs, origin, eps, precision, num_steps,
             relax_omega=0.0):
+        # Terminal (run-to-dry) rungs use a SMALL tile: the bucket's actives
+        # are sort-packed into its first lanes, so fine tiles let everything
+        # past the straggler prefix exit immediately — the deep tail (700+
+        # steps at 1080p) then runs on ~1k lanes instead of the whole 8k
+        # bucket (measured 16.5 -> ~2 ms, benchmarks/exp_refine2.py).
+        # Bounded rungs keep big tiles: their actives span the bucket for
+        # the whole fixed step count, so small tiles only add per-tile
+        # overhead.
+        tile = 1024 if num_steps is None else 8192
         return megakernel.march_pallas_state(
             params, origin, sub_dirs, sub, config, frame,
-            tile=min(8192, sub_dirs.shape[0]), march_eps=eps,
+            tile=min(tile, sub_dirs.shape[0]), march_eps=eps,
             precision=precision, num_steps=num_steps,
             relax_omega=relax_omega, interpret=should_interpret(),
         )
@@ -433,6 +442,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
             params, origin, dirs, state, config, frame,
             tile=8192, march_eps=eps_a,
             precision=jax.lax.Precision.DEFAULT,
+            relax_omega=(0.0 if config.relax_newton else relax),
             interpret=should_interpret(),
         )
         pr, steps, within = _pack_init(state, dirs), state.steps, None
