@@ -89,7 +89,13 @@ class RenderConfig:
     # need 1000+ steps, hence the refine ladder.
     stage_steps: int = 8
     coarse_schedule: Tuple[Tuple[int, int], ...] = ((4, 0),)
-    refine_schedule: Tuple[Tuple[int, int], ...] = ((4, 32), (32, 96), (256, 0))
+    # Rung sizes follow the measured active-ray decay at 1080p
+    # (benchmarks/exp_decay.py: 330k near -> 166k after 16 HIGHEST steps ->
+    # 93k after 24 more -> ~2.8k after 104): shrink the bucket right as the
+    # bulk converges instead of holding N/4 for 32 steps. Sweep in
+    # benchmarks/exp_sched3.py: 86.7 -> 76.6 ms/frame vs the old
+    # ((4,32),(32,96),(256,0)), exact hit-count parity.
+    refine_schedule: Tuple[Tuple[int, int], ...] = ((4, 16), (8, 24), (32, 64), (256, 0))
     # march_precision="full" phase-A schedule (HIGHEST everywhere).
     fine_schedule: Tuple[Tuple[int, int], ...] = ((4, 48), (32, 192), (256, 0))
     compact_min: int = 2048
