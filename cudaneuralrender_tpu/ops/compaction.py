@@ -66,9 +66,18 @@ def compact_indices(mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Arra
     return indices, valid
 
 
-def sort_pack_leaves(mask: jax.Array, leaves, within: int | None = None):
+def sort_pack_leaves(
+    mask: jax.Array, leaves, within: int | None = None, order=None
+):
     """Reorder every leaf so mask-True lanes form a dense prefix (stable,
     image order preserved within each group).
+
+    ``order`` (optional, int-like [N]): secondary sort among mask-True lanes,
+    ascending. Used for difficulty-ordered packing: packing a march bucket by
+    predicted step count clusters stragglers into few kernel tiles, so
+    easy tiles early-exit a bounded rung instead of idling until its fixed
+    step count (per-tile exit is the megakernel's compaction mechanism).
+    Inactive lanes still sort strictly after every active lane.
 
     The TPU-fast compaction primitive: ONE variadic ``lax.sort`` keyed on
     ``~mask`` carries every per-ray array in the same pass. Measured on a
@@ -88,11 +97,19 @@ def sort_pack_leaves(mask: jax.Array, leaves, within: int | None = None):
     passed through untouched, shrinking the sort to bucket size.
     """
     n = mask.shape[0]
+
+    def make_key(m, o):
+        if o is None:
+            return (~m).astype(jnp.int32)
+        # actives keyed by order (clipped non-negative), inactives by a
+        # sentinel above any order value
+        return jnp.where(m, jnp.maximum(o.astype(jnp.int32), 0), jnp.int32(2**30))
+
     if within is None or within >= n:
-        key = (~mask).astype(jnp.int32)
+        key = make_key(mask, order)
         out = jax.lax.sort((key, *leaves), dimension=0, num_keys=1, is_stable=True)
         return tuple(out[1:])
-    key = (~mask[:within]).astype(jnp.int32)
+    key = make_key(mask[:within], None if order is None else order[:within])
     head = jax.lax.sort(
         (key, *(l[:within] for l in leaves)), dimension=0, num_keys=1, is_stable=True
     )

@@ -56,6 +56,50 @@ def pack_params(params: MLPParams, pad_width: int | None = None) -> Tuple[jax.Ar
     return jnp.stack(w_layers), jnp.stack(b_layers), sizes[0], h
 
 
+def split_hi_lo(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Two-term bfloat16 decomposition of an f32 array: w ≈ hi + lo with hi =
+    bf16(w) and lo = bf16(w - hi). Feeding both halves to single-pass bf16
+    MXU dots reproduces XLA's Precision.HIGH 3-pass scheme (hi·hi + hi·lo +
+    lo·hi) — the path Pallas cannot lower natively (Mosaic supports
+    DEFAULT/HIGHEST only). Done once outside the kernel so the march loop
+    never re-splits loop-invariant weights."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mlp_chain_3pass(w_hi_ref, w_lo_ref, b_ref, x, n_layers: int):
+    """Emulated Precision.HIGH chain on transposed activations x [H, T].
+
+    Per layer, three single-pass bf16 dots accumulate in f32:
+    y ≈ w_hi·x_hi + w_hi·x_lo + w_lo·x_hi (the dropped lo·lo term is
+    O(2^-16) relative — XLA HIGH drops it too). Measured max abs SDF error
+    on plane_1: ~2e-4 (models/mlp.py precision table), good down to
+    eps=1e-3 marching at ~60% of HIGHEST's 6-pass cost.
+    """
+    dn = (((0,), (0,)), ((), ()))
+    for l in range(n_layers):
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            w_hi_ref[l], x_hi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jax.lax.dot_general(
+            w_hi_ref[l], x_lo, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jax.lax.dot_general(
+            w_lo_ref[l], x_hi, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        y = y + b_ref[l][:, None]
+        if l + 1 < n_layers:
+            y = jnp.maximum(y, 0.0)
+        x = y
+    return x
+
+
 def _mlp_chain(w_ref, b_ref, x, n_layers: int, precision=jax.lax.Precision.HIGHEST):
     """Run the padded layer chain on transposed activations x [H, T].
 

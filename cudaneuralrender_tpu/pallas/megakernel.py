@@ -35,7 +35,7 @@ from ..ops import camera as camera_lib
 from ..ops import march, shading
 from ..ops.camera import Camera
 from ..utils.config import RenderConfig
-from .fused_mlp import _mlp_chain, pack_params
+from .fused_mlp import _mlp_chain, _mlp_chain_3pass, pack_params, split_hi_lo
 
 
 def _march_megakernel(
@@ -46,14 +46,7 @@ def _march_megakernel(
     origin_ref,    # [3, 1] shared eye origin
     frame_ref,     # [1, 1] animation frame number
     steps0_ref,    # [1, 1] float: steps already taken (tail continuation)
-    w_ref,         # [L, H, H] packed weights
-    b_ref,         # [L, H] packed biases
-    t_out,         # [1, T]
-    conv_out,      # [1, T] float mask
-    budget_out,    # [1, T]
-    active_out,    # [1, T] float mask: unresolved at exit
-    steps_out,     # [1, T] float: loop iterations at exit (same per tile)
-    *,
+    *refs,         # weights + biases + outputs (see below)
     n_layers: int,
     hidden: int,
     n_inputs: int,
@@ -63,7 +56,23 @@ def _march_megakernel(
     precision=jax.lax.Precision.HIGHEST,
     num_steps: int | None = None,
     relax_omega: float = 0.0,
+    three_pass: bool = False,
 ):
+    # refs layout: three_pass -> (w_hi [L,H,H] bf16, w_lo [L,H,H] bf16,
+    # b [L,H]); else -> (w [L,H,H] f32, b [L,H]). Then the five outputs:
+    # t, conv, budget, active, steps — all [1, T].
+    if three_pass:
+        w_hi_ref, w_lo_ref, b_ref = refs[:3]
+        outs = refs[3:]
+    else:
+        w_ref, b_ref = refs[:2]
+        outs = refs[2:]
+    # steps_out is PER-LANE: the loop iteration at which each ray resolved
+    # (converged or missed); unresolved/pad lanes report the tile's exit
+    # step. Its max is the deepest march count (the staged scheduler's
+    # global counter); the staged renderer also uses it directly as the
+    # per-ray difficulty key for ordered packing (ops/compaction.py).
+    t_out, conv_out, budget_out, active_out, steps_out = outs
     dirs = dirs_ref[:]
     origin = origin_ref[:]
     T = dirs.shape[1]
@@ -78,7 +87,10 @@ def _march_megakernel(
         if pad:
             rows.append(jnp.zeros((pad, T), jnp.float32))
         x = jnp.concatenate(rows, axis=0)  # [H, T]
-        d = _mlp_chain(w_ref, b_ref, x, n_layers, precision)[0:1, :]  # [1, T]
+        if three_pass:
+            d = _mlp_chain_3pass(w_hi_ref, w_lo_ref, b_ref, x, n_layers)[0:1, :]
+        else:
+            d = _mlp_chain(w_ref, b_ref, x, n_layers, precision)[0:1, :]  # [1, T]
         if use_tanh:
             d = jnp.tanh(d)
         return d
@@ -86,7 +98,7 @@ def _march_megakernel(
     start = steps0_ref[0, 0].astype(jnp.int32)
 
     def cond(carry):
-        step, t, budget, active, conv = carry[:5]
+        step, t, budget, active, conv, res = carry[:6]
         go = (step < max_steps) & (jnp.sum(active) > 0.0)
         if num_steps is not None:
             # Bounded rung (staged-schedule building block): advance at most
@@ -97,7 +109,7 @@ def _march_megakernel(
     def body(carry):
         # Same update order as singleMarch (volumeRender_kernel.cu:459-476):
         # budget check before the move, convergence after it.
-        step, t, budget, active, conv = carry[:5]
+        step, t, budget, active, conv, res = carry[:6]
         d = sdf(t)
         act = active > 0
         if relax:
@@ -106,7 +118,7 @@ def _march_megakernel(
             # argument): overstep omega*d, backtrack to the previous
             # plain-step position when safety spheres stop overlapping,
             # plain for one step after a failure.
-            prev_r, step_len = carry[5:]
+            prev_r, step_len = carry[6:]
             sor_fail = act & (step_len > prev_r) & (d + prev_r < step_len)
             near = act & ~sor_fail & (d < march_eps)
             om = jnp.where(step_len < 0.0, 1.0, float(relax_omega))
@@ -124,7 +136,8 @@ def _march_megakernel(
         conv_now = moved & near
         active = (moved & ~conv_now).astype(jnp.float32)
         conv = jnp.where(conv_now, 1.0, conv)
-        out = (step + 1, t, budget, active, conv)
+        res = jnp.where(act & (active == 0.0), (step + 1).astype(jnp.float32), res)
+        out = (step + 1, t, budget, active, conv, res)
         if relax:
             prev_r = jnp.where(moved & ~sor_fail, d, prev_r)
             step_len = jnp.where(moved, stepv, step_len)
@@ -137,16 +150,18 @@ def _march_megakernel(
         budget0_ref[:],
         active0_ref[:],
         jnp.zeros_like(active0_ref[:]),
+        jnp.full_like(t0_ref[:], jnp.float32(0.0)) + start.astype(jnp.float32),
     )
     if relax:
         init = init + (jnp.zeros_like(t0_ref[:]), jnp.zeros_like(t0_ref[:]))
     final = jax.lax.while_loop(cond, body, init)
-    step, t, budget, active, conv = final[:5]
+    step, t, budget, active, conv, res = final[:6]
     t_out[:] = t
     conv_out[:] = conv
     budget_out[:] = budget
     active_out[:] = active
-    steps_out[:] = jnp.broadcast_to(step.astype(jnp.float32), active.shape)
+    # unresolved lanes report the tile's exit step (max difficulty seen)
+    steps_out[:] = jnp.where(active > 0, step.astype(jnp.float32), res)
 
 
 def march_pallas_state(
@@ -163,8 +178,13 @@ def march_pallas_state(
     precision=jax.lax.Precision.HIGHEST,
     num_steps: int | None = None,
     relax_omega: float = 0.0,
+    return_resolve: bool = False,
 ) -> march.MarchState:
     """Continue an existing march state inside the megakernel.
+
+    ``return_resolve=True`` additionally returns the per-ray resolve step
+    [n] float32 (the loop iteration at which each ray converged or missed)
+    — the staged renderer's difficulty key for ordered bucket packing.
 
     The building block for the staged renderer's deep-straggler tail: once
     the survivors fit a small packed batch, thousands of sequential tiny
@@ -177,6 +197,13 @@ def march_pallas_state(
 
     weights, biases, n_in, hidden = pack_params(params)
     use_tanh = config.scene == "neural_tanh"
+    # Mosaic lowers DEFAULT/HIGHEST dots only; HIGH runs as the emulated
+    # 3-pass scheme on pre-split bf16 weight halves (fused_mlp.split_hi_lo).
+    three_pass = precision == jax.lax.Precision.HIGH
+    if three_pass:
+        weight_inputs = (*split_hi_lo(weights), biases)
+    else:
+        weight_inputs = (weights, biases)
 
     def pad_row(x, fill=0.0):
         return jnp.full((1, n_pad), fill, jnp.float32).at[0, :n].set(x)
@@ -197,6 +224,7 @@ def march_pallas_state(
         precision=precision,
         num_steps=num_steps,
         relax_omega=relax_omega,
+        three_pass=three_pass,
     )
 
     row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -218,9 +246,7 @@ def march_pallas_state(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # origin [3,1]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # frame [1,1]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # steps0 [1,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_inputs),
         out_specs=(row_spec(), row_spec(), row_spec(), row_spec(), row_spec()),
         interpret=interpret,
     )(
@@ -231,8 +257,7 @@ def march_pallas_state(
         origin.reshape(3, 1).astype(jnp.float32),
         jnp.reshape(jnp.asarray(frame, jnp.float32), (1, 1)),
         jnp.reshape(state.steps.astype(jnp.float32), (1, 1)),
-        weights,
-        biases,
+        *weight_inputs,
     )
 
     # steps taken inside the kernel varies per tile. Unbounded (terminal)
@@ -249,13 +274,16 @@ def march_pallas_state(
             state.steps + jnp.asarray(num_steps, jnp.int32),
             jnp.asarray(config.max_steps, jnp.int32),
         )
-    return march.MarchState(
+    out_state = march.MarchState(
         t=t_arr[0, :n],
         budget=budget[0, :n],
         active=(active[0, :n] > 0.5) & state.active,
         converged=(conv[0, :n] > 0.5) | state.converged,
         steps=new_steps,
     )
+    if return_resolve:
+        return out_state, steps_arr[0, :n]
+    return out_state
 
 
 @functools.partial(

@@ -195,7 +195,9 @@ def _rung_kernel_fn(params, config: RenderConfig, frame, relax: float):
     64 ms on the first rung's 1080p bucket (518k rays x 32 steps), t parity
     to ~1e-6 (hit set within 0.013% — epsilon-boundary ties). The kernel
     implements plain and constant-relaxed stepping; Newton mode stays in
-    XLA. refine_pallas opts out; CSG scenes always use XLA.
+    XLA. refine_pallas opts out; CSG scenes always use XLA. HIGHEST rungs
+    use native 6-pass dots; HIGH rungs (mid_eps ladder phase) run the
+    emulated 3-pass chain on pre-split bf16 weights.
     """
     if (
         not config.refine_pallas
@@ -248,20 +250,25 @@ class PackedRays(NamedTuple):
     dx: jax.Array         # [N] ray direction x
     dy: jax.Array         # [N] ray direction y
     dz: jax.Array         # [N] ray direction z
+    hard: jax.Array       # [N] f32 difficulty (coarse-phase resolve step);
+                          #     ordered-packing key for refine buckets
 
 
-def _pack_init(state: march.MarchState, dirs) -> PackedRays:
+def _pack_init(state: march.MarchState, dirs, hard=None) -> PackedRays:
     n = dirs.shape[0]
     return PackedRays(
         pos=jnp.arange(n, dtype=jnp.int32),
         t=state.t, budget=state.budget,
         active=state.active, converged=state.converged,
         dx=dirs[:, 0], dy=dirs[:, 1], dz=dirs[:, 2],
+        hard=jnp.zeros((n,), jnp.float32) if hard is None else hard,
     )
 
 
-def _pr_sort(pr: PackedRays, mask, within=None) -> PackedRays:
-    return PackedRays(*compaction.sort_pack_leaves(mask, tuple(pr), within=within))
+def _pr_sort(pr: PackedRays, mask, within=None, order=None) -> PackedRays:
+    return PackedRays(
+        *compaction.sort_pack_leaves(mask, tuple(pr), within=within, order=order)
+    )
 
 
 def _pr_bucket(pr: PackedRays, cap: int, steps):
@@ -332,7 +339,7 @@ def _run_schedule(
             tail_kernel is not None and rung_steps == 0
             and cap <= config.tail_pallas_max
         )
-        if rung_kernel is not None and precision == jax.lax.Precision.HIGHEST:
+        if rung_kernel is not None and precision != jax.lax.Precision.DEFAULT:
             sub = rung_kernel(
                 sub, dirs_b, origin, eps, precision,
                 (None if rung_steps == 0 else rung_steps),
@@ -438,14 +445,19 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
         from ..pallas import megakernel
         from ..pallas.fused_mlp import should_interpret
 
-        state = megakernel.march_pallas_state(
+        state, resolve = megakernel.march_pallas_state(
             params, origin, dirs, state, config, frame,
             tile=8192, march_eps=eps_a,
             precision=jax.lax.Precision.DEFAULT,
             relax_omega=(0.0 if config.relax_newton else relax),
             interpret=should_interpret(),
+            return_resolve=True,
         )
-        pr, steps, within = _pack_init(state, dirs), state.steps, None
+        # coarse resolve step = the refine phases' difficulty key: rays that
+        # took many coarse steps (grazing incidence) also need the deep
+        # refine tail, so ordered packing clusters them into few tiles
+        pr = _pack_init(state, dirs, hard=resolve)
+        steps, within = state.steps, None
     else:
         state = march.march_stage(
             coarse, origin, dirs, state,
@@ -476,12 +488,20 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
                 if prec == jax.lax.Precision.HIGHEST
                 else scene_fn(params, config, frame, precision=prec)
             )
-            # Pallas dot lowering supports DEFAULT/HIGHEST only.
-            tk = None if prec == jax.lax.Precision.HIGH else tail_kernel
+            # HIGH runs in-kernel too via the emulated 3-pass chain
+            # (fused_mlp._mlp_chain_3pass) — Mosaic itself lowers only
+            # DEFAULT/HIGHEST dots.
+            tk = tail_kernel
+            sched = (
+                (config.mid_schedule or config.refine_schedule)
+                if prec == jax.lax.Precision.HIGH
+                else config.refine_schedule
+            )
             pr, steps, within, ovf = _refine_phase(
                 f_p, origin, pr, steps, config, eps, precision=prec,
                 tail_kernel=tk, relax=relax,
                 rung_kernel=_rung_kernel_fn(params, config, frame, relax),
+                schedule=sched,
             )
             refine_overflow = jnp.maximum(refine_overflow, ovf)
     return pr, steps, within, refine_overflow
@@ -490,6 +510,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
 def _refine_phase(
     f, origin, pr: PackedRays, steps, config: RenderConfig, eps, *,
     precision, tail_kernel, relax: float = 0.0, rung_kernel=None,
+    schedule=None,
 ):
     """One ladder phase: re-mark the near-surface set (converged-or-active)
     active, sort it into the first refine rung's bucket, march, then drain
@@ -503,14 +524,20 @@ def _refine_phase(
     active, which the fallback re-render makes moot.
     """
     n = pr.pos.shape[0]
+    if schedule is None:
+        schedule = config.refine_schedule
     near = pr.converged | pr.active
     refine_count = jnp.sum(near.astype(jnp.int32))
     overflow = jnp.zeros((), jnp.int32)
-    div0, steps0 = config.refine_schedule[0]
+    div0, steps0 = schedule[0]
     cap = max(n // div0, config.compact_min)
     if cap < n:
+        # Difficulty-ordered packing: key the sort by the coarse resolve
+        # step so stragglers cluster into few megakernel tiles — easy tiles
+        # early-exit a bounded rung instead of idling its full step count.
         pr = _pr_sort(
-            pr._replace(active=near, converged=jnp.zeros_like(near)), near
+            pr._replace(active=near, converged=jnp.zeros_like(near)), near,
+            order=pr.hard if config.ordered_packing else None,
         )
         sub, dirs_b = _pr_bucket(pr, cap, steps)
         # Constant over-relaxation is OFF in the phase's first rung: its bulk
@@ -518,7 +545,7 @@ def _refine_phase(
         # omega>1 overshoots and backtracks every other step (measured +11 ms
         # at 1080p). Newton-adaptive relaxation has no such pathology (g~1
         # head-on -> plain steps), so it stays on.
-        if rung_kernel is not None and precision == jax.lax.Precision.HIGHEST:
+        if rung_kernel is not None and precision != jax.lax.Precision.DEFAULT:
             sub = rung_kernel(
                 sub, dirs_b, origin, eps, precision,
                 (None if steps0 == 0 else steps0),
@@ -552,7 +579,7 @@ def _refine_phase(
         pr, steps = _pr_merge(pr, state), state.steps
         within = n
     pr, steps, within = _run_schedule(
-        f, origin, pr, steps, config.refine_schedule[1:], config, eps,
+        f, origin, pr, steps, schedule[1:], config, eps,
         precision=precision, tail_kernel=tail_kernel, relax=relax, within=within,
         rung_kernel=rung_kernel,
     )

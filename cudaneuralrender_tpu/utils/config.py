@@ -129,6 +129,11 @@ class RenderConfig:
     march_precision: str = "mixed"
     coarse_eps: float = 0.05
     mid_eps: float = 0.0
+    # Ladder schedule for the optional HIGH middle phase (mid_eps > 0);
+    # empty = reuse refine_schedule. With a mid phase the HIGHEST phase's
+    # rays start ~mid_eps from the surface, so refine_schedule should then
+    # be retuned shorter (the decay curves differ per phase).
+    mid_schedule: Tuple[Tuple[int, int], ...] = ()
 
     # Over-relaxed sphere tracing (Keinert et al. 2014): active rays step
     # omega*d and backtrack to the previous plain-step position when
@@ -161,6 +166,11 @@ class RenderConfig:
     # shipped schedule's 8k terminal bucket (184 vs 177 ms) — off.
     tail_pallas: bool = False
     tail_pallas_max: int = 16384
+
+    # Difficulty-ordered refine packing: key the refine phase's entry sort
+    # by each ray's coarse-phase resolve step so stragglers cluster into few
+    # megakernel tiles and easy tiles early-exit bounded rungs.
+    ordered_packing: bool = True
 
     # Run the refine phase's FIRST rung (the frame's hottest block: the
     # near-surface bucket x fixed HIGHEST steps) inside the megakernel with

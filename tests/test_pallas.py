@@ -135,3 +135,40 @@ def test_megakernel_state_continuation(plane1_params):
     # rays already converged before the continuation stay converged
     pre = np.asarray(st.converged)
     assert np.all(np.asarray(cont.converged)[pre])
+
+
+def test_split_hi_lo_reconstructs(plane1_params):
+    w, _, _, _ = fused_mlp.pack_params(plane1_params)
+    hi, lo = fused_mlp.split_hi_lo(w)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    recon = hi.astype(np.float32) + lo.astype(np.float32)
+    err = np.abs(np.asarray(w) - np.asarray(recon))
+    # two bf16 terms carry ~16 mantissa bits -> |err| <= 2^-17 |w| + tiny
+    assert err.max() <= 2.0 ** -16 * np.abs(np.asarray(w)).max() + 1e-12
+
+
+def test_megakernel_high_precision_march(plane1_params):
+    """precision=HIGH (emulated 3-pass chain) marches to eps=1e-3 close to
+    the exact f32 chain (CPU XLA evaluates every precision in f32, so the
+    XLA reference is exact; the emulation's documented SDF error is ~2e-4)."""
+    cfg = cnr.RenderConfig(width=16, height=16, scene="neural_raw",
+                           max_steps=128, march_eps=1e-3)
+    c2w, _ = cam_lib.view_matrices(cnr.Camera())
+    origin, dirs = cam_lib.generate_rays(c2w, cfg.height, cfg.width, cfg.focal)
+    st = march.init_state(origin, dirs, cfg.bound_center, cfg.bound_radius)
+
+    got = megakernel.march_pallas_state(
+        plane1_params, origin, dirs, st, cfg, tile=128, interpret=True,
+        march_eps=cfg.march_eps, precision=jax.lax.Precision.HIGH,
+    )
+    from cudaneuralrender_tpu.render.renderer import scene_fn
+
+    f = scene_fn(plane1_params, cfg, 0.0)
+    ref = march.march_stage(f, origin, dirs, st, num_steps=cfg.max_steps,
+                            max_steps=cfg.max_steps, march_eps=cfg.march_eps)
+    agree = (np.asarray(got.converged) == np.asarray(ref.converged)).mean()
+    assert agree > 0.97, f"hit agreement {agree}"
+    both = np.asarray(got.converged) & np.asarray(ref.converged)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[both], np.asarray(ref.t)[both], atol=5e-3
+    )

@@ -149,3 +149,20 @@ def test_render_sequence_matches_staged(plane1_params):
         ref = cnr.render_staged(plane1_params, cam, cfg)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         assert st["rays"] == 48 * 48
+
+
+def test_staged_mid_eps_phase(plane1_params):
+    """The optional HIGH middle ladder phase (mid_eps) must agree with the
+    two-phase mixed path (it exercises the emulated 3-pass rung kernel on
+    TPU; on CPU every precision is f32, so images should be very close)."""
+    from cudaneuralrender_tpu.render import renderer
+
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=256, march_impl="staged")
+    a = np.asarray(renderer.render_staged(plane1_params, cnr.Camera(), cfg))
+    b = np.asarray(renderer.render_staged(
+        plane1_params, cnr.Camera(), cfg.replace(mid_eps=1e-3)))
+    hit_a, hit_b = a[..., 3] > 0, b[..., 3] > 0
+    assert (hit_a == hit_b).mean() > 0.99
+    both = hit_a & hit_b
+    np.testing.assert_allclose(a[both], b[both], atol=1e-3)
