@@ -78,12 +78,12 @@ def main():
     timed("16 dense steps HIGHEST", d16_hi, origin, dirs, reps=args.reps)
 
     # --- full scheduled march (the real program)
-    sched = jax.jit(lambda o, d: renderer._scheduled_march.__wrapped__(params, o, d, cfg, jnp.float32(0.0))[0].t)
+    sched = jax.jit(lambda o, d: renderer._scheduled_march.__wrapped__(params, cam_to_world, o, d, cfg, jnp.float32(0.0))[0].t)
     timed("full _scheduled_march", sched, origin, dirs, reps=args.reps)
 
     # --- shading (packed-bucket) incl. final image-order restore sort
-    pr, steps, _, _ = renderer._scheduled_march(params, origin, dirs, cfg, jnp.float32(0.0))
-    shade = jax.jit(lambda p, s: renderer._shade_packed(params, origin, p, s, world_to_cam, cfg, None, jnp.float32(0.0))[0])
+    pr, steps, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, jnp.float32(0.0))
+    shade = jax.jit(lambda p, s: renderer._shade_packed(params, origin, cam_to_world, p, s, world_to_cam, cfg, None, jnp.float32(0.0))[0])
     timed("packed shading + restore", shade, pr, steps, reps=args.reps)
 
     # --- end to end

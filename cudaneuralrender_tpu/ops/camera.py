@@ -105,6 +105,28 @@ def view_matrices(camera: Camera) -> Tuple[jax.Array, jax.Array]:
     return cam_to_world, world_to_cam
 
 
+def ray_dirs_from_index(
+    cam_to_world: jax.Array, idx: jax.Array, height: int, width: int,
+    focal: float = 2.0
+) -> jax.Array:
+    """World-space ray directions for flat pixel indices idx [N] (= y*W + x).
+
+    The direction is a pure function of the pixel index and the camera, so
+    the staged renderer's packed-ray bundle carries only the index and
+    recomputes directions at bucket granularity (~25 VPU flops/lane) instead
+    of hauling three f32 payloads through every compaction sort —
+    sort cost grows with payload count (benchmarks/exp_sortcost.py).
+    """
+    r = cam_to_world[:, :3]
+    x = (idx % width).astype(jnp.float32)
+    y = (idx // width).astype(jnp.float32)
+    u = (x / width) * 2.0 - 1.0
+    v = (y / height) * 2.0 - 1.0
+    d_cam = jnp.stack([u, v, jnp.full_like(u, -focal)], axis=-1)  # [N, 3]
+    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+    return d_cam @ r.T  # rotate to world: (R @ d)
+
+
 def generate_rays(
     cam_to_world: jax.Array, height: int, width: int, focal: float = 2.0
 ) -> Tuple[jax.Array, jax.Array]:
@@ -114,15 +136,9 @@ def generate_rays(
     y*W + x (initMarcher, volumeRender_kernel.cu:313-322). The origin is shared
     by all rays (pinhole), so it is returned once and broadcast downstream —
     no [N,3] origin buffer (the reference stores per-pixel rays in HBM;
-    here XLA keeps ray setup fused into the march).
+    here XLA keeps ray setup fused into the march). Delegates to
+    ray_dirs_from_index so packed-bundle recomputation is bit-identical.
     """
-    r = cam_to_world[:, :3]
     origin = cam_to_world[:, 3]
-
-    x = (jnp.arange(width, dtype=jnp.float32) / width) * 2.0 - 1.0
-    y = (jnp.arange(height, dtype=jnp.float32) / height) * 2.0 - 1.0
-    u, v = jnp.meshgrid(x, y, indexing="xy")  # [H, W]
-    d_cam = jnp.stack([u, v, jnp.full_like(u, -focal)], axis=-1)  # [H, W, 3]
-    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
-    dirs = d_cam.reshape(-1, 3) @ r.T  # rotate to world: (R @ d)
-    return origin, dirs
+    idx = jnp.arange(height * width, dtype=jnp.int32)
+    return origin, ray_dirs_from_index(cam_to_world, idx, height, width, focal)

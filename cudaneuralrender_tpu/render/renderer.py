@@ -247,20 +247,20 @@ class PackedRays(NamedTuple):
     budget: jax.Array     # [N] remaining march budget
     active: jax.Array     # [N] bool still marching
     converged: jax.Array  # [N] bool hit surface
-    dx: jax.Array         # [N] ray direction x
-    dy: jax.Array         # [N] ray direction y
-    dz: jax.Array         # [N] ray direction z
     hard: jax.Array       # [N] f32 difficulty (coarse-phase resolve step);
                           #     ordered-packing key for refine buckets
 
 
 def _pack_init(state: march.MarchState, dirs, hard=None) -> PackedRays:
+    # Ray directions are NOT carried: they are a pure function of pos and
+    # the camera (camera.ray_dirs_from_index), recomputed per bucket — sort
+    # cost grows with payload count (benchmarks/exp_sortcost.py). ``dirs``
+    # remains a parameter only for its length.
     n = dirs.shape[0]
     return PackedRays(
         pos=jnp.arange(n, dtype=jnp.int32),
         t=state.t, budget=state.budget,
         active=state.active, converged=state.converged,
-        dx=dirs[:, 0], dy=dirs[:, 1], dz=dirs[:, 2],
         hard=jnp.zeros((n,), jnp.float32) if hard is None else hard,
     )
 
@@ -271,13 +271,16 @@ def _pr_sort(pr: PackedRays, mask, within=None, order=None) -> PackedRays:
     )
 
 
-def _pr_bucket(pr: PackedRays, cap: int, steps):
-    """Prefix bucket as (MarchState, dirs [cap,3]) — contiguous slices."""
+def _pr_bucket(pr: PackedRays, cap: int, steps, cam_to_world, config: RenderConfig):
+    """Prefix bucket as (MarchState, dirs [cap,3]) — contiguous slices;
+    directions recomputed from the carried ray indices."""
     state = march.MarchState(
         t=pr.t[:cap], budget=pr.budget[:cap],
         active=pr.active[:cap], converged=pr.converged[:cap], steps=steps,
     )
-    dirs = jnp.stack([pr.dx[:cap], pr.dy[:cap], pr.dz[:cap]], axis=1)
+    dirs = camera_lib.ray_dirs_from_index(
+        cam_to_world, pr.pos[:cap], config.height, config.width, config.focal
+    )
     return state, dirs
 
 
@@ -294,7 +297,8 @@ def _pr_merge(pr: PackedRays, sub: march.MarchState) -> PackedRays:
 
 
 def _run_schedule(
-    f, origin, pr: PackedRays, steps, schedule, config: RenderConfig, eps, *,
+    f, origin, cam_to_world, pr: PackedRays, steps, schedule,
+    config: RenderConfig, eps, *,
     precision=None, tail_kernel=None, relax: float = 0.0, within=None,
     rung_kernel=None,
 ):
@@ -321,7 +325,7 @@ def _run_schedule(
         cap = max(n // div, config.compact_min)
         if cap >= n:
             if rung_steps == 0:
-                state, dirs_b = _pr_bucket(pr, n, steps)
+                state, dirs_b = _pr_bucket(pr, n, steps, cam_to_world, config)
                 state = march.march_stage(
                     f, origin, dirs_b, state,
                     num_steps=config.max_steps,
@@ -334,7 +338,7 @@ def _run_schedule(
                 pr, steps = _pr_merge(pr, state), state.steps
             continue
         pr = _pr_sort(pr, pr.active, within=within)
-        sub, dirs_b = _pr_bucket(pr, cap, steps)
+        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, config)
         use_tail = (
             tail_kernel is not None and rung_steps == 0
             and cap <= config.tail_pallas_max
@@ -363,7 +367,7 @@ def _run_schedule(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
+def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, frame):
     """The full staged-compaction march as ONE compiled program.
 
     Phase A (coarse): dense prefix of config.stage_steps, then the
@@ -470,7 +474,7 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
         )
         pr, steps = _pack_init(state, dirs), state.steps
         pr, steps, within = _run_schedule(
-            coarse, origin, pr, steps, schedule_a, config, eps_a,
+            coarse, origin, cam_to_world, pr, steps, schedule_a, config, eps_a,
             precision=prec_a, tail_kernel=tail_kernel, relax=relax, within=None,
         )
 
@@ -498,8 +502,8 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
                 else config.refine_schedule
             )
             pr, steps, within, ovf = _refine_phase(
-                f_p, origin, pr, steps, config, eps, precision=prec,
-                tail_kernel=tk, relax=relax,
+                f_p, origin, cam_to_world, pr, steps, config, eps,
+                precision=prec, tail_kernel=tk, relax=relax,
                 rung_kernel=_rung_kernel_fn(params, config, frame, relax),
                 schedule=sched,
             )
@@ -508,7 +512,8 @@ def _scheduled_march(params, origin, dirs, config: RenderConfig, frame):
 
 
 def _refine_phase(
-    f, origin, pr: PackedRays, steps, config: RenderConfig, eps, *,
+    f, origin, cam_to_world, pr: PackedRays, steps, config: RenderConfig,
+    eps, *,
     precision, tail_kernel, relax: float = 0.0, rung_kernel=None,
     schedule=None,
 ):
@@ -539,7 +544,7 @@ def _refine_phase(
             pr._replace(active=near, converged=jnp.zeros_like(near)), near,
             order=pr.hard if config.ordered_packing else None,
         )
-        sub, dirs_b = _pr_bucket(pr, cap, steps)
+        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, config)
         # Constant over-relaxation is OFF in the phase's first rung: its bulk
         # is rays sitting ~coarse_eps from the surface head-on, where a fixed
         # omega>1 overshoots and backtracks every other step (measured +11 ms
@@ -565,7 +570,8 @@ def _refine_phase(
         overflow = jnp.maximum(refine_count - cap, 0)
     else:
         state, dirs_b = _pr_bucket(
-            pr._replace(active=near, converged=jnp.zeros_like(near)), n, steps
+            pr._replace(active=near, converged=jnp.zeros_like(near)), n, steps,
+            cam_to_world, config,
         )
         state = march.march_stage(
             f, origin, dirs_b, state,
@@ -579,7 +585,7 @@ def _refine_phase(
         pr, steps = _pr_merge(pr, state), state.steps
         within = n
     pr, steps, within = _run_schedule(
-        f, origin, pr, steps, schedule[1:], config, eps,
+        f, origin, cam_to_world, pr, steps, schedule[1:], config, eps,
         precision=precision, tail_kernel=tail_kernel, relax=relax, within=within,
         rung_kernel=rung_kernel,
     )
@@ -623,8 +629,9 @@ def _shade_final(params, origin, dirs, t, hit, world_to_cam, config: RenderConfi
     return rgba.reshape(config.height, config.width, 4)
 
 
-def _shade_packed(params, origin, pr: PackedRays, steps, world_to_cam,
-                  config: RenderConfig, matcap, frame, within=None):
+def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
+                  world_to_cam, config: RenderConfig, matcap, frame,
+                  within=None):
     """Shade hit pixels in packed lane order, then restore image order.
 
     Hits sort into an N/shade_div prefix bucket, normals + colors run there,
@@ -644,7 +651,7 @@ def _shade_packed(params, origin, pr: PackedRays, steps, world_to_cam,
     f = shade_fn(params, config, frame)
 
     if cap >= n:
-        state_all, dirs_all = _pr_bucket(pr, n, steps)
+        state_all, dirs_all = _pr_bucket(pr, n, steps, cam_to_world, config)
         points = origin + dirs_all * pr.t[:, None]
         colors = shading.shade(
             f, points, dirs_all,
@@ -655,7 +662,7 @@ def _shade_packed(params, origin, pr: PackedRays, steps, world_to_cam,
         colors = jnp.where(pr.converged[:, None], colors, 0.0)
     else:
         pr = _pr_sort(pr, pr.converged, within=within)
-        sub, sub_dirs = _pr_bucket(pr, cap, steps)
+        sub, sub_dirs = _pr_bucket(pr, cap, steps, cam_to_world, config)
         points = origin + sub_dirs * sub.t[:, None]
         bucket_colors = shading.shade(
             f, points, sub_dirs,
@@ -722,7 +729,7 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
         cam_to_world, config.height, config.width, config.focal
     )
     pr, steps, within, refine_overflow = _scheduled_march.__wrapped__(
-        params, origin, dirs, config, frame
+        params, cam_to_world, origin, dirs, config, frame
     )
     # Converged lanes can only live inside the refine phase's first bucket
     # (every ladder phase clears all converged flags and sorts the near set
@@ -733,8 +740,8 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
         cap0 = max(config.num_rays // config.refine_schedule[0][0], config.compact_min)
         conv_within = cap0 if cap0 < config.num_rays else None
     rgba, pr, hit_count = _shade_packed(
-        params, origin, pr, steps, world_to_cam, config, matcap, frame,
-        within=conv_within,
+        params, origin, cam_to_world, pr, steps, world_to_cam, config, matcap,
+        frame, within=conv_within,
     )
     stats = jnp.stack(
         [
