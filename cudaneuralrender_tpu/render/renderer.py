@@ -392,10 +392,13 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
     mixed = config.march_precision == "mixed"
     tail_kernel = _tail_kernel_fn(params, config, frame)
     if mixed:
-        coarse = scene_fn(params, config, frame, precision=jax.lax.Precision.DEFAULT)
+        prec_a = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+        }[config.coarse_precision]
+        coarse = scene_fn(params, config, frame, precision=prec_a)
         eps_a = config.coarse_eps
         schedule_a = config.coarse_schedule
-        prec_a = jax.lax.Precision.DEFAULT
     else:
         coarse, eps_a = fine, config.march_eps
         schedule_a = config.fine_schedule
@@ -452,7 +455,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         state, resolve = megakernel.march_pallas_state(
             params, origin, dirs, state, config, frame,
             tile=8192, march_eps=eps_a,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=prec_a,
             relax_omega=(0.0 if config.relax_newton else relax),
             interpret=should_interpret(),
             return_resolve=True,

@@ -127,6 +127,16 @@ class RenderConfig:
     # precision savings on a 32-wide MLP, and the re-polish steps can push
     # rays past a tight max_steps budget.
     march_precision: str = "mixed"
+    # Matmul precision of the coarse phase: "default" (1 bf16 pass, max SDF
+    # err 4.7e-2 -> eps 0.05) or "high" (3 passes via the kernel's emulated
+    # hi/lo split, err ~2e-4 -> eps can drop to 1e-3). "high" MEASURED
+    # NEGATIVE at 1080p (77 vs 57 ms, benchmarks/exp_coarsehigh.py): the
+    # coarse kernel's tiles are image-order, so at tight eps a silhouette
+    # tile drags all 8192 lanes through the deep march — per-tile exit is
+    # need-driven per TILE, not per ray. The refine ladder's
+    # difficulty-sorted buckets handle the tight-eps march better. Kept as
+    # an opt-in for scenes whose DEFAULT-precision error exceeds 4.7e-2.
+    coarse_precision: str = "default"
     coarse_eps: float = 0.05
     mid_eps: float = 0.0
     # Ladder schedule for the optional HIGH middle phase (mid_eps > 0);
@@ -234,6 +244,8 @@ class RenderConfig:
             raise ValueError(f"unknown march_impl {self.march_impl!r}")
         if self.num_inputs not in (3, 4):
             raise ValueError("num_inputs must be 3 or 4")
+        if self.coarse_precision not in ("default", "high"):
+            raise ValueError(f"unknown coarse_precision {self.coarse_precision!r}")
         return self
 
 

@@ -166,3 +166,20 @@ def test_staged_mid_eps_phase(plane1_params):
     assert (hit_a == hit_b).mean() > 0.99
     both = hit_a & hit_b
     np.testing.assert_allclose(a[both], b[both], atol=1e-3)
+
+
+def test_staged_coarse_high_precision(plane1_params):
+    """coarse_precision="high" (emulated 3-pass coarse kernel to a tighter
+    eps) must agree with the default coarse phase (CPU: both exact f32)."""
+    from cudaneuralrender_tpu.render import renderer
+
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=256, march_impl="staged")
+    a = np.asarray(renderer.render_staged(plane1_params, cnr.Camera(), cfg))
+    b = np.asarray(renderer.render_staged(
+        plane1_params, cnr.Camera(),
+        cfg.replace(coarse_precision="high", coarse_eps=1e-3)))
+    hit_a, hit_b = a[..., 3] > 0, b[..., 3] > 0
+    assert (hit_a == hit_b).mean() > 0.99
+    both = hit_a & hit_b
+    np.testing.assert_allclose(a[both], b[both], atol=1e-3)
