@@ -62,15 +62,21 @@ def main():
             return_resolve=True)
 
     stateA, resolve = timed("A: coarse megakernel (run-to-dry)", coarse, origin, dirs)
-    pr0 = renderer._pack_init(stateA, dirs, hard=resolve)
+    pr0 = renderer._pack_init(stateA, dirs)
     near = pr0.converged | pr0.active
     print(f"   near={int(jnp.sum(near))} active={int(jnp.sum(pr0.active))}")
 
     # refine entry sort (full image, 9 leaves, difficulty key)
     @jax.jit
     def entry_sort(pr):
-        pr2 = pr._replace(active=near, converged=jnp.zeros_like(near))
-        return renderer._pr_sort(pr2, near, order=pr.hard)
+        pos, t, budget = __import__("cudaneuralrender_tpu.ops.compaction",
+                                    fromlist=["x"]).sort_pack_leaves(
+            near, (pr.pos, pr.t, pr.budget), order=resolve)
+        lane = jnp.arange(n, dtype=jnp.int32)
+        return renderer.PackedRays(
+            pos=pos, t=t, budget=budget,
+            active=lane < jnp.sum(near.astype(jnp.int32)),
+            converged=jnp.zeros_like(near))
 
     prs = timed("B: refine entry sort (2M x 9 leaves)", entry_sort, pr0)
 

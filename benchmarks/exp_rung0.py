@@ -61,11 +61,11 @@ def main():
             return_resolve=True)
 
     stateA, resolve = coarse(origin, dirs)
-    pr0 = renderer._pack_init(stateA, dirs, hard=resolve)
+    pr0 = renderer._pack_init(stateA, dirs)
     near = pr0.converged | pr0.active
     prs = renderer._pr_sort(
         pr0._replace(active=near, converged=jnp.zeros_like(near)), near,
-        order=pr0.hard)
+        order=resolve)
     cap = n // 4
     sub0, dirs0 = renderer._pr_bucket(prs, cap, stateA.steps, cam_to_world, cfg)
     float(_sync_val(sub0))

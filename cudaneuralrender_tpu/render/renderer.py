@@ -247,21 +247,21 @@ class PackedRays(NamedTuple):
     budget: jax.Array     # [N] remaining march budget
     active: jax.Array     # [N] bool still marching
     converged: jax.Array  # [N] bool hit surface
-    hard: jax.Array       # [N] f32 difficulty (coarse-phase resolve step);
-                          #     ordered-packing key for refine buckets
 
 
-def _pack_init(state: march.MarchState, dirs, hard=None) -> PackedRays:
+def _pack_init(state: march.MarchState, dirs) -> PackedRays:
     # Ray directions are NOT carried: they are a pure function of pos and
     # the camera (camera.ray_dirs_from_index), recomputed per bucket — sort
     # cost grows with payload count (benchmarks/exp_sortcost.py). ``dirs``
-    # remains a parameter only for its length.
+    # remains a parameter only for its length. The coarse difficulty key
+    # (megakernel resolve steps) is likewise NOT carried: it is consumed
+    # once, as the refine phase's entry-sort key, while the bundle is still
+    # in image order.
     n = dirs.shape[0]
     return PackedRays(
         pos=jnp.arange(n, dtype=jnp.int32),
         t=state.t, budget=state.budget,
         active=state.active, converged=state.converged,
-        hard=jnp.zeros((n,), jnp.float32) if hard is None else hard,
     )
 
 
@@ -460,10 +460,13 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
             interpret=should_interpret(),
             return_resolve=True,
         )
-        # coarse resolve step = the refine phases' difficulty key: rays that
-        # took many coarse steps (grazing incidence) also need the deep
-        # refine tail, so ordered packing clusters them into few tiles
-        pr = _pack_init(state, dirs, hard=resolve)
+        # coarse resolve step = the refine phase's difficulty key: rays
+        # that took many coarse steps (grazing incidence) also need the
+        # deep refine tail, so ordered packing clusters them into few
+        # tiles. Valid while pr stays in image order (consumed by the first
+        # ladder phase's entry sort).
+        pr = _pack_init(state, dirs)
+        difficulty = resolve if config.ordered_packing else None
         steps, within = state.steps, None
     else:
         state = march.march_stage(
@@ -476,6 +479,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
             omega_max=config.relax_omega_max,
         )
         pr, steps = _pack_init(state, dirs), state.steps
+        difficulty = None  # XLA coarse path tracks no per-ray step counts
         pr, steps, within = _run_schedule(
             coarse, origin, cam_to_world, pr, steps, schedule_a, config, eps_a,
             precision=prec_a, tail_kernel=tail_kernel, relax=relax, within=None,
@@ -508,9 +512,12 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
                 f_p, origin, cam_to_world, pr, steps, config, eps,
                 precision=prec, tail_kernel=tk, relax=relax,
                 rung_kernel=_rung_kernel_fn(params, config, frame, relax),
-                schedule=sched,
+                schedule=sched, order=difficulty,
             )
             refine_overflow = jnp.maximum(refine_overflow, ovf)
+            # later ladder phases see a re-sorted bundle; the image-order
+            # difficulty key no longer aligns
+            difficulty = None
     return pr, steps, within, refine_overflow
 
 
@@ -518,7 +525,7 @@ def _refine_phase(
     f, origin, cam_to_world, pr: PackedRays, steps, config: RenderConfig,
     eps, *,
     precision, tail_kernel, relax: float = 0.0, rung_kernel=None,
-    schedule=None,
+    schedule=None, order=None,
 ):
     """One ladder phase: re-mark the near-surface set (converged-or-active)
     active, sort it into the first refine rung's bucket, march, then drain
@@ -540,12 +547,19 @@ def _refine_phase(
     div0, steps0 = schedule[0]
     cap = max(n // div0, config.compact_min)
     if cap < n:
-        # Difficulty-ordered packing: key the sort by the coarse resolve
-        # step so stragglers cluster into few megakernel tiles — easy tiles
-        # early-exit a bounded rung instead of idling its full step count.
-        pr = _pr_sort(
-            pr._replace(active=near, converged=jnp.zeros_like(near)), near,
-            order=pr.hard if config.ordered_packing else None,
+        # Slim entry sort: only (pos, t, budget) ride it — the packed
+        # ``active`` prefix is an iota comparison and ``converged`` is
+        # cleared phase-wide anyway. ``order`` (the coarse resolve step,
+        # difficulty-ordered packing) keys the sort so stragglers cluster
+        # into few megakernel tiles and easy tiles early-exit bounded rungs.
+        pos, t, budget = compaction.sort_pack_leaves(
+            near, (pr.pos, pr.t, pr.budget), order=order
+        )
+        lane = jnp.arange(n, dtype=jnp.int32)
+        pr = PackedRays(
+            pos=pos, t=t, budget=budget,
+            active=lane < refine_count,
+            converged=jnp.zeros_like(near),
         )
         sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, config)
         # Constant over-relaxation is OFF in the phase's first rung: its bulk
@@ -654,7 +668,9 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
     f = shade_fn(params, config, frame)
 
     if cap >= n:
-        state_all, dirs_all = _pr_bucket(pr, n, steps, cam_to_world, config)
+        dirs_all = camera_lib.ray_dirs_from_index(
+            cam_to_world, pr.pos, config.height, config.width, config.focal
+        )
         points = origin + dirs_all * pr.t[:, None]
         colors = shading.shade(
             f, points, dirs_all,
@@ -663,23 +679,31 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
             matcap=matcap,
         )
         colors = jnp.where(pr.converged[:, None], colors, 0.0)
+        pos_sh = pr.pos
     else:
-        pr = _pr_sort(pr, pr.converged, within=within)
-        sub, sub_dirs = _pr_bucket(pr, cap, steps, cam_to_world, config)
-        points = origin + sub_dirs * sub.t[:, None]
+        # Slim hit-pack: only (pos, t, conv) ride the sort — shading needs
+        # nothing else, and the caller keeps the UNSORTED bundle for the
+        # rare slow-path state restore.
+        pos_sh, t_sh, conv_sh = compaction.sort_pack_leaves(
+            pr.converged, (pr.pos, pr.t, pr.converged), within=within
+        )
+        sub_dirs = camera_lib.ray_dirs_from_index(
+            cam_to_world, pos_sh[:cap], config.height, config.width, config.focal
+        )
+        points = origin + sub_dirs * t_sh[:cap, None]
         bucket_colors = shading.shade(
             f, points, sub_dirs,
             mode=config.shading, normal_mode=config.normal_mode,
             normal_eps=config.normal_eps, world_to_cam=world_to_cam,
             matcap=matcap,
         )
-        bucket_colors = jnp.where(sub.converged[:, None], bucket_colors, 0.0)
+        bucket_colors = jnp.where(conv_sh[:cap, None], bucket_colors, 0.0)
         colors = jnp.concatenate(
             [bucket_colors, jnp.zeros((n - cap, 4), jnp.float32)], axis=0
         )
 
     restored = compaction.sort_restore_leaves(
-        pr.pos,
+        pos_sh,
         (colors[:, 0], colors[:, 1], colors[:, 2], colors[:, 3]),
     )
     rgba = jnp.stack(restored, axis=-1).reshape(config.height, config.width, 4)
