@@ -68,6 +68,65 @@ def split_hi_lo(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+def _mlp_chain_from_pts(
+    w_ref, b_ref, pts, n_layers: int, n_in: int,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Chain entry for raw input rows pts [n_in, T] (no zero-padding).
+
+    The first layer contracts over the TRUE input width via a static slice
+    of the padded weight stack — the megakernel previously rebuilt a zero-
+    padded [H, T] activation block every march step just to feed a [H, H]
+    dot whose extra rows were zeros.
+    """
+    dn = (((0,), (0,)), ((), ()))
+    y = jax.lax.dot_general(
+        w_ref[0][:n_in, :], pts, dimension_numbers=dn,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    x = y + b_ref[0][:, None]
+    if n_layers > 1:
+        x = jnp.maximum(x, 0.0)
+    for l in range(1, n_layers):
+        y = jax.lax.dot_general(
+            w_ref[l], x, dimension_numbers=dn,
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        y = y + b_ref[l][:, None]
+        if l + 1 < n_layers:
+            y = jnp.maximum(y, 0.0)
+        x = y
+    return x
+
+
+def _mlp_chain_3pass_from_pts(w_hi_ref, w_lo_ref, b_ref, pts, n_layers: int, n_in: int):
+    """3-pass (emulated HIGH) chain entry for raw input rows [n_in, T]."""
+    dn = (((0,), (0,)), ((), ()))
+
+    def dot3(w_hi, w_lo, x):
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            w_hi, x_hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        y = y + jax.lax.dot_general(
+            w_hi, x_lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        return y + jax.lax.dot_general(
+            w_lo, x_hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+
+    x = dot3(w_hi_ref[0][:n_in, :], w_lo_ref[0][:n_in, :], pts) + b_ref[0][:, None]
+    if n_layers > 1:
+        x = jnp.maximum(x, 0.0)
+    for l in range(1, n_layers):
+        y = dot3(w_hi_ref[l], w_lo_ref[l], x) + b_ref[l][:, None]
+        if l + 1 < n_layers:
+            y = jnp.maximum(y, 0.0)
+        x = y
+    return x
+
+
 def _mlp_chain_3pass(w_hi_ref, w_lo_ref, b_ref, x, n_layers: int):
     """Emulated Precision.HIGH chain on transposed activations x [H, T].
 

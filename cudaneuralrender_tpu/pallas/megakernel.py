@@ -57,6 +57,7 @@ def _march_megakernel(
     num_steps: int | None = None,
     relax_omega: float = 0.0,
     three_pass: bool = False,
+    track_resolve: bool = False,
 ):
     # refs layout: three_pass -> (w_hi [L,H,H] bf16, w_lo [L,H,H] bf16,
     # b [L,H]); else -> (w [L,H,H] f32, b [L,H]). Then the five outputs:
@@ -86,6 +87,10 @@ def _march_megakernel(
         pad = hidden - n_inputs
         if pad:
             rows.append(jnp.zeros((pad, T), jnp.float32))
+        # NOTE: a true [n_in, H] first-layer dot (fused_mlp._mlp_chain_from_pts,
+        # no zero-pad rebuild) measured ~35% SLOWER end-to-end: Mosaic lowers
+        # the K=3 contraction far worse than the padded K=32 one. Keep the
+        # zero-padded entry.
         x = jnp.concatenate(rows, axis=0)  # [H, T]
         if three_pass:
             d = _mlp_chain_3pass(w_hi_ref, w_lo_ref, b_ref, x, n_layers)[0:1, :]
@@ -136,7 +141,10 @@ def _march_megakernel(
         conv_now = moved & near
         active = (moved & ~conv_now).astype(jnp.float32)
         conv = jnp.where(conv_now, 1.0, conv)
-        res = jnp.where(act & (active == 0.0), (step + 1).astype(jnp.float32), res)
+        if track_resolve:
+            res = jnp.where(
+                act & (active == 0.0), (step + 1).astype(jnp.float32), res
+            )
         out = (step + 1, t, budget, active, conv, res)
         if relax:
             prev_r = jnp.where(moved & ~sor_fail, d, prev_r)
@@ -160,8 +168,11 @@ def _march_megakernel(
     conv_out[:] = conv
     budget_out[:] = budget
     active_out[:] = active
-    # unresolved lanes report the tile's exit step (max difficulty seen)
-    steps_out[:] = jnp.where(active > 0, step.astype(jnp.float32), res)
+    if track_resolve:
+        # unresolved lanes report the tile's exit step (max difficulty seen)
+        steps_out[:] = jnp.where(active > 0, step.astype(jnp.float32), res)
+    else:
+        steps_out[:] = jnp.broadcast_to(step.astype(jnp.float32), active.shape)
 
 
 def march_pallas_state(
@@ -225,6 +236,7 @@ def march_pallas_state(
         num_steps=num_steps,
         relax_omega=relax_omega,
         three_pass=three_pass,
+        track_resolve=return_resolve,
     )
 
     row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)

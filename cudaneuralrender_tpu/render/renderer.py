@@ -486,6 +486,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         )
 
     refine_overflow = jnp.zeros((), jnp.int32)
+    relax_refine = config.relax_omega_refine if mixed else 0.0
     if mixed:
         # Precision ladder: re-march the near-surface set at each finer
         # precision down to the epsilon that dominates its matmul error.
@@ -510,7 +511,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
             )
             pr, steps, within, ovf = _refine_phase(
                 f_p, origin, cam_to_world, pr, steps, config, eps,
-                precision=prec, tail_kernel=tk, relax=relax,
+                precision=prec, tail_kernel=tk, relax=relax_refine,
                 rung_kernel=_rung_kernel_fn(params, config, frame, relax),
                 schedule=sched, order=difficulty,
             )

@@ -157,6 +157,16 @@ class RenderConfig:
     # renderer._refine_phase).
     relax_omega: float = 1.6
 
+    # Over-relaxation for the refine-ladder rungs (after rung 0, which
+    # always steps plain — see renderer._refine_phase). Rung-level A/B
+    # (benchmarks/exp_rung1.py, actives after rung 1 at 1080p): plain
+    # 31.6k, omega 1.4 -> 15.6k, 1.6 -> 22.5k, 2.0 -> 46k. 1.4 converges
+    # the bulk best but moves grazing STRAGGLERS ~14% less per step, so
+    # more rays overflow the fixed-bound later rungs into the host slow
+    # path: end-to-end 1.4 measured 26.7 vs 38.7 Mrays/s. Stays at 1.6;
+    # retuning the ladder around 1.4 is an open experiment.
+    relax_omega_refine: float = 1.6
+
     # Newton/secant-adaptive relaxation ("accelerated sphere tracing"): the
     # per-ray step multiplier becomes clip(1/g, 1, relax_omega_max) where g
     # is the secant slope of the SDF along the ray. MEASURED NEGATIVE, kept
