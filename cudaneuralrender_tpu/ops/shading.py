@@ -67,6 +67,46 @@ def tetrahedron_normals(sdf_fn: SdfFn, points: jax.Array, eps: float = 1e-5) -> 
     return n.reshape(points.shape)
 
 
+def pack_rgba_u32(colors: jax.Array) -> jax.Array:
+    """Device-side rgba pack: [..., 4] float in [0,1] -> [...] uint32.
+
+    Byte layout and rounding mirror the reference's rgbaFloatToInt
+    (volumeRender_kernel.cu:266-274): saturate to [0,1], scale by 255,
+    TRUNCATE to integer, pack a<<24|b<<16|g<<8|r — the exact format the
+    reference writes into its display PBO, and the same conversion
+    utils.image_io.to_uint8_image applies on save. Used so the staged
+    renderer's image-order restore sort carries ONE u32 payload instead of
+    four f32 channels (the restore sort is the shading stage's dominant
+    cost, benchmarks/exp_shade3.py).
+    """
+    c = (jnp.clip(colors, 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    return (
+        (c[..., 3] << 24) | (c[..., 2] << 16) | (c[..., 1] << 8) | c[..., 0]
+    )
+
+
+def unpack_rgba_u32(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_rgba_u32: [...] uint32 -> [..., 4] float rgba.
+
+    Uses an explicit single f32 multiply by fl(1/255) — not a division,
+    which XLA may or may not strength-reduce to the reciprocal, making the
+    result backend-dependent by one ulp. The multiply is deterministic, and
+    trunc(fl(k*fl(1/255))*255) == k for every k in 0..255 (verified
+    exhaustively), so to_uint8_image recovers identical bytes to packing
+    straight from the unquantized colors.
+    """
+    u8 = jnp.stack(
+        [
+            packed & 0xFF,
+            (packed >> 8) & 0xFF,
+            (packed >> 16) & 0xFF,
+            (packed >> 24) & 0xFF,
+        ],
+        axis=-1,
+    )
+    return u8.astype(jnp.float32) * np.float32(1.0 / 255.0)
+
+
 def facing_color(normals: jax.Array, dirs: jax.Array) -> jax.Array:
     """Facing-ratio grayscale (reference facingColor,
     volumeRender_kernel.cu:381-384): max(0, dot(n, -dir)) in rgb, alpha=1.

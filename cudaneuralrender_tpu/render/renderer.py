@@ -647,44 +647,101 @@ def _shade_final(params, origin, dirs, t, hit, world_to_cam, config: RenderConfi
     return rgba.reshape(config.height, config.width, 4)
 
 
+def _conv_within(config: RenderConfig):
+    """Bound on where converged lanes can live after _scheduled_march.
+
+    In the mixed path every ladder phase clears all converged flags and
+    sorts the near set into the first refine rung's bucket, so hits only
+    exist in that prefix. The full-precision path converges rays in place
+    anywhere — no bound.
+    """
+    if config.march_precision != "mixed":
+        return None
+    cap0 = max(config.num_rays // config.refine_schedule[0][0], config.compact_min)
+    return cap0 if cap0 < config.num_rays else None
+
+
+def _shade_capacity(config: RenderConfig, n: int, within) -> int:
+    """Lane count _shade_packed will actually shade (and can hold hits).
+
+    With a ``within`` bound (mixed path: every converged lane lives in the
+    first refine rung's bucket) the whole prefix is shaded IN PLACE — no
+    hit-pack sort at all, and overflow is impossible by construction.
+    Without one (full-precision path: rays converge anywhere), hits sort
+    into an N/shade_div bucket.
+    """
+    if within is not None and within < n:
+        return n  # in-place prefix shade: every hit is inside `within`
+    return max(n // config.shade_div, config.compact_min)
+
+
 def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
                   world_to_cam, config: RenderConfig, matcap, frame,
                   within=None):
     """Shade hit pixels in packed lane order, then restore image order.
 
-    Hits sort into an N/shade_div prefix bucket, normals + colors run there,
-    and ONE final key-sort on ``pos`` returns the rgba image. Only the four
-    color channels ride the restore sort — the march state stays in packed
-    lane order (the caller's rare continuation path restores it lazily via
-    ``_restore_state``; a 9-operand full-image sort measured ~45% slower
-    than the 5-operand one, benchmarks/exp_shade2.py). ``within`` bounds
-    where converged lanes can live (the first refine rung's bucket in the
-    mixed path), shrinking the hit pack sort to bucket scale.
-    Returns (rgba [H,W,4], packed pr, hit_count) — the caller falls back to
-    dense shading when hit_count exceeds the bucket (host check).
+    Three paths pick where normals + colors run:
+      * ``within`` bound (mixed march): every converged lane already lives
+        in the first refine rung's bucket, so that prefix is shaded IN
+        PLACE, masked by the converged flags — no hit-pack sort at all
+        (the sort measured 2.2 ms vs ~0.7 ms of extra masked shade compute
+        at 1080p, benchmarks/exp_shade3.py), and bucket overflow is
+        impossible by construction.
+      * no bound, bucket smaller than the image (full-precision march):
+        hits sort into an N/shade_div prefix bucket (slim payload: pos, t,
+        conv) and shade there; the caller falls back to dense shading when
+        hit_count exceeds the bucket (host check).
+      * bucket >= image: shade densely.
+
+    One final key-sort on ``pos`` restores image order. With
+    config.rgba_packed the colors ride it as a single u32 (the reference's
+    rgbaFloatToInt display format) instead of four f32 channels — the
+    restore sort dominates the stage (6.2 of 9.1 ms at 1080p,
+    benchmarks/exp_shade3.py) and its cost scales with payload width. The
+    march state itself stays in packed lane order (the rare continuation
+    path restores it lazily via ``_restore_state``).
+    Returns (rgba [H,W,4], packed pr, hit_count).
     """
     n = pr.pos.shape[0]
-    cap = max(n // config.shade_div, config.compact_min)
+    cap = _shade_capacity(config, n, within)
     hit_count = jnp.sum(pr.converged.astype(jnp.int32))
     f = shade_fn(params, config, frame)
 
-    if cap >= n:
+    if within is not None and within < n:
+        region = within
+        pos_sh = pr.pos
+        sub_dirs = camera_lib.ray_dirs_from_index(
+            cam_to_world, pr.pos[:region], config.height, config.width, config.focal
+        )
+        points = origin + sub_dirs * pr.t[:region, None]
+        region_colors = shading.shade(
+            f, points, sub_dirs,
+            mode=config.shading, normal_mode=config.normal_mode,
+            normal_eps=config.normal_eps, world_to_cam=world_to_cam,
+            matcap=matcap,
+        )
+        region_colors = jnp.where(
+            pr.converged[:region, None], region_colors, 0.0
+        )
+    elif cap >= n:
+        region = n
+        pos_sh = pr.pos
         dirs_all = camera_lib.ray_dirs_from_index(
             cam_to_world, pr.pos, config.height, config.width, config.focal
         )
         points = origin + dirs_all * pr.t[:, None]
-        colors = shading.shade(
+        region_colors = shading.shade(
             f, points, dirs_all,
             mode=config.shading, normal_mode=config.normal_mode,
             normal_eps=config.normal_eps, world_to_cam=world_to_cam,
             matcap=matcap,
         )
-        colors = jnp.where(pr.converged[:, None], colors, 0.0)
-        pos_sh = pr.pos
+        region_colors = jnp.where(pr.converged[:, None], region_colors, 0.0)
     else:
         # Slim hit-pack: only (pos, t, conv) ride the sort — shading needs
         # nothing else, and the caller keeps the UNSORTED bundle for the
         # rare slow-path state restore.
+        region = cap
         pos_sh, t_sh, conv_sh = compaction.sort_pack_leaves(
             pr.converged, (pr.pos, pr.t, pr.converged), within=within
         )
@@ -692,22 +749,37 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
             cam_to_world, pos_sh[:cap], config.height, config.width, config.focal
         )
         points = origin + sub_dirs * t_sh[:cap, None]
-        bucket_colors = shading.shade(
+        region_colors = shading.shade(
             f, points, sub_dirs,
             mode=config.shading, normal_mode=config.normal_mode,
             normal_eps=config.normal_eps, world_to_cam=world_to_cam,
             matcap=matcap,
         )
-        bucket_colors = jnp.where(conv_sh[:cap, None], bucket_colors, 0.0)
-        colors = jnp.concatenate(
-            [bucket_colors, jnp.zeros((n - cap, 4), jnp.float32)], axis=0
-        )
+        region_colors = jnp.where(conv_sh[:cap, None], region_colors, 0.0)
 
-    restored = compaction.sort_restore_leaves(
-        pos_sh,
-        (colors[:, 0], colors[:, 1], colors[:, 2], colors[:, 3]),
-    )
-    rgba = jnp.stack(restored, axis=-1).reshape(config.height, config.width, 4)
+    if config.rgba_packed:
+        packed = shading.pack_rgba_u32(region_colors)
+        if region < n:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((n - region,), jnp.uint32)]
+            )
+        (restored,) = compaction.sort_restore_leaves(pos_sh, (packed,))
+        rgba = shading.unpack_rgba_u32(restored).reshape(
+            config.height, config.width, 4
+        )
+    else:
+        colors = region_colors
+        if region < n:
+            colors = jnp.concatenate(
+                [colors, jnp.zeros((n - region, 4), jnp.float32)], axis=0
+            )
+        restored = compaction.sort_restore_leaves(
+            pos_sh,
+            (colors[:, 0], colors[:, 1], colors[:, 2], colors[:, 3]),
+        )
+        rgba = jnp.stack(restored, axis=-1).reshape(
+            config.height, config.width, 4
+        )
     return rgba, pr, hit_count
 
 
@@ -759,14 +831,7 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
     pr, steps, within, refine_overflow = _scheduled_march.__wrapped__(
         params, cam_to_world, origin, dirs, config, frame
     )
-    # Converged lanes can only live inside the refine phase's first bucket
-    # (every ladder phase clears all converged flags and sorts the near set
-    # into that prefix) — bound the hit pack sort accordingly. The full
-    # precision path converges rays in place anywhere, so it sorts full-width.
-    conv_within = None
-    if config.march_precision == "mixed":
-        cap0 = max(config.num_rays // config.refine_schedule[0][0], config.compact_min)
-        conv_within = cap0 if cap0 < config.num_rays else None
+    conv_within = _conv_within(config)
     rgba, pr, hit_count = _shade_packed(
         params, origin, cam_to_world, pr, steps, world_to_cam, config, matcap,
         frame, within=conv_within,
@@ -833,7 +898,7 @@ def render_staged(
         )
 
     n_rays = config.num_rays
-    shade_cap = max(n_rays // config.shade_div, config.compact_min)
+    shade_cap = _shade_capacity(config, n_rays, _conv_within(config))
     schedule_ok = active_count == 0 or steps_done >= config.max_steps
     shade_ok = shade_cap >= n_rays or hit_count <= shade_cap
     if schedule_ok and shade_ok:

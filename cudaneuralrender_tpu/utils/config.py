@@ -106,6 +106,17 @@ class RenderConfig:
     # falls back to dense shading via a host check.
     shade_div: int = 8
 
+    # Carry the shaded colors through the image-order restore sort as ONE
+    # u32 payload (8-bit channels packed a<<24|b<<16|g<<8|r — the
+    # reference's own display format, rgbaFloatToInt
+    # volumeRender_kernel.cu:266-274) instead of four f32 channels. The
+    # restore sort is the shading stage's dominant cost
+    # (benchmarks/exp_shade3.py); quantization is exactly the u8 conversion
+    # every saved/displayed frame undergoes anyway (image_io.to_uint8_image
+    # recovers identical bytes). False keeps f32 colors end-to-end for
+    # tolerance studies against the dense path.
+    rgba_packed: bool = True
+
     # Matmul precision for shading normals: "highest" | "high" | "default".
     # Measured identical frame time at 1080p (shading is gather/VPU-bound,
     # not matmul-bound), so the default stays HIGHEST — exactness for free.

@@ -74,7 +74,7 @@ def test_staged_render_grid_on_off_match(plane1_params):
 def test_full_precision_ignores_grid(plane1_params):
     cfg = cnr.RenderConfig(width=16, height=16, scene="neural_raw",
                            max_steps=300, march_impl="staged",
-                           march_precision="full")
+                           march_precision="full", rgba_packed=False)
     img = np.asarray(cnr.render_staged(plane1_params, cnr.Camera(), cfg))
     dense = np.asarray(cnr.render_image(plane1_params, cnr.Camera(),
                                         cfg.replace(march_impl="while")))

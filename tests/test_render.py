@@ -66,7 +66,8 @@ def test_staged_full_precision_matches_dense(plane1_params):
     staged = np.asarray(
         cnr.render_staged(
             plane1_params, cnr.Camera(),
-            cfg.replace(march_impl="staged", stage_steps=16, march_precision="full"),
+            cfg.replace(march_impl="staged", stage_steps=16, march_precision="full",
+                        rgba_packed=False),
         )
     )
     np.testing.assert_allclose(staged, dense, atol=1e-4)
@@ -78,7 +79,8 @@ def test_staged_mixed_matches_dense_structurally(plane1_params):
     cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=300)
     dense = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg))
     staged = np.asarray(
-        cnr.render_staged(plane1_params, cnr.Camera(), cfg.replace(march_impl="staged"))
+        cnr.render_staged(plane1_params, cnr.Camera(),
+                          cfg.replace(march_impl="staged", rgba_packed=False))
     )
     hit_d = dense[..., 3] > 0
     hit_s = staged[..., 3] > 0
@@ -158,7 +160,7 @@ def test_staged_mid_eps_phase(plane1_params):
     from cudaneuralrender_tpu.render import renderer
 
     cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
-                           max_steps=256, march_impl="staged")
+                           max_steps=256, march_impl="staged", rgba_packed=False)
     a = np.asarray(renderer.render_staged(plane1_params, cnr.Camera(), cfg))
     b = np.asarray(renderer.render_staged(
         plane1_params, cnr.Camera(), cfg.replace(mid_eps=1e-3)))
@@ -174,7 +176,7 @@ def test_staged_coarse_high_precision(plane1_params):
     from cudaneuralrender_tpu.render import renderer
 
     cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
-                           max_steps=256, march_impl="staged")
+                           max_steps=256, march_impl="staged", rgba_packed=False)
     a = np.asarray(renderer.render_staged(plane1_params, cnr.Camera(), cfg))
     b = np.asarray(renderer.render_staged(
         plane1_params, cnr.Camera(),
@@ -183,3 +185,24 @@ def test_staged_coarse_high_precision(plane1_params):
     assert (hit_a == hit_b).mean() > 0.99
     both = hit_a & hit_b
     np.testing.assert_allclose(a[both], b[both], atol=1e-3)
+
+
+def test_rgba_packed_is_exact_u8_quantization(plane1_params):
+    """Default staged output (rgba_packed=True) must equal the f32 render
+    quantized through the reference's u8 display format (rgbaFloatToInt,
+    volumeRender_kernel.cu:266-274): saturate, x255, truncate, /255. The
+    saved PNG bytes are therefore identical either way."""
+    from cudaneuralrender_tpu.utils import image_io
+
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=300, march_impl="staged")
+    packed = np.asarray(cnr.render_staged(plane1_params, cnr.Camera(), cfg))
+    exact = np.asarray(cnr.render_staged(
+        plane1_params, cnr.Camera(), cfg.replace(rgba_packed=False)))
+    quantized = np.clip(exact, 0.0, 1.0)
+    quantized = (quantized * 255.0).astype(np.uint8).astype(np.float32) \
+        * np.float32(1.0 / 255.0)
+    np.testing.assert_array_equal(packed, quantized)
+    np.testing.assert_array_equal(
+        image_io.to_uint8_image(packed), image_io.to_uint8_image(exact)
+    )
