@@ -890,12 +890,20 @@ def render_staged(
 
     if refine_overflow > 0:
         # Mixed-precision refinement bucket under-provisioned (huge
-        # foreground): redo exactly, one-time compile of the full variant.
+        # foreground, e.g. a zoomed-in camera): retry with every refine
+        # bucket DOUBLED (divs halved). Rung 1 at div 1 spans the whole
+        # image and cannot overflow, so this terminates; each retry costs
+        # roughly one extra mixed render (~2x) instead of the ~7x of a
+        # march_precision="full" re-render, at one extra (cached) compile
+        # per doubling level actually reached.
+        wider = tuple((max(d // 2, 1), s) for d, s in config.refine_schedule)
+        result = render_staged(
+            params, camera, config.replace(refine_schedule=wider), matcap, frame,
+            stats_out=stats_out,
+        )
         if stats_out is not None:
             stats_out.update(fast_path=False)
-        return render_staged(
-            params, camera, config.replace(march_precision="full"), matcap, frame
-        )
+        return result
 
     n_rays = config.num_rays
     shade_cap = _shade_capacity(config, n_rays, _conv_within(config))

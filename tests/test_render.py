@@ -206,3 +206,19 @@ def test_rgba_packed_is_exact_u8_quantization(plane1_params):
     np.testing.assert_array_equal(
         image_io.to_uint8_image(packed), image_io.to_uint8_image(exact)
     )
+
+
+def test_refine_overflow_widens_buckets(plane1_params):
+    """An under-provisioned refine bucket (tiny compact_min + huge div) must
+    trigger the overflow fallback — retry with doubled buckets — and still
+    produce the same image as a safely-provisioned schedule."""
+    safe = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                            max_steps=300, march_impl="staged")
+    tiny = safe.replace(refine_schedule=((1024, 4), (1024, 0)), compact_min=8)
+    stats = {}
+    img_tiny = np.asarray(cnr.render_staged(
+        plane1_params, cnr.Camera(), tiny, stats_out=stats))
+    img_safe = np.asarray(cnr.render_staged(plane1_params, cnr.Camera(), safe))
+    assert not stats.get("fast_path", True), "overflow fallback should trigger"
+    hit_a, hit_b = img_tiny[..., 3] > 0, img_safe[..., 3] > 0
+    assert (hit_a == hit_b).mean() > 0.99
