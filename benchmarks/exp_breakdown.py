@@ -137,7 +137,7 @@ def main():
             near = pr.active | pr.converged
             pr = renderer._pr_sort(pr, near, order=res)
             pr = pr._replace(active=near, converged=jnp.zeros_like(near))
-            sub, dirs_b = renderer._pr_bucket(pr, cap, jnp.int32(30), cam_to_world, cfg)
+            sub, dirs_b = renderer._pr_bucket(pr, cap, jnp.int32(30), cam_to_world, origin, cfg)
             sub = rung_kernel(sub, dirs_b, origin, cfg.march_eps,
                               jax.lax.Precision.HIGHEST,
                               None if steps_n == 0 else steps_n,
@@ -159,12 +159,13 @@ def main():
 
     pr, steps, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, fz)
 
-    def shade_body(t, budget):
-        p2 = pr._replace(t=t, budget=budget)
+    def shade_body(t):
+        p2 = pr._replace(t=t)
         return renderer._shade_packed(params, origin, cam_to_world, p2, steps,
-                                      world_to_cam, cfg, None, fz)[0].ravel()[:n]
+                                      world_to_cam, cfg, None, fz,
+                                      within=renderer._conv_within(cfg))[0].ravel()[:n]
 
-    bench("packed shading + restore", chain(shade_body), pr.t, pr.budget,
+    bench("packed shading + restore", chain(shade_body), pr.t,
           reps=args.reps, rtt=rtt)
     return 0
 

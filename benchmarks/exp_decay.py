@@ -36,7 +36,7 @@ def main():
         near = pr.converged | pr.active
         prs = renderer._pr_sort(
             pr._replace(active=near, converged=jnp.zeros_like(near)), near)
-        sub, dirs_b = renderer._pr_bucket(prs, n // 4, stateA.steps, cam_to_world, cfg)
+        sub, dirs_b = renderer._pr_bucket(prs, n // 4, stateA.steps, cam_to_world, origin, cfg)
         print(f"ry={ry}: near={int(jnp.sum(near))}", flush=True)
         st = sub
         total = 0

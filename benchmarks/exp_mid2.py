@@ -9,6 +9,15 @@ thin halo — a few % of the image), so its ladder can start at n/16 and a
 handful of polish steps (1e-3 -> 1e-6 at contraction ~0.5 is ~10 steps).
 Overflow (foreground-heavy cameras) now falls back to doubled buckets
 instead of a full re-render, so thin margins are safe.
+
+RESULT: dead end, twice over. (1) hits alone are ~172k at 1080p (8.3%), so
+converged-at-mid exceeds n/16 and even n/8 margins force slow-path frames
+(measured 158-289 ms/frame vs 66 base). (2) More fundamentally: the deep
+straggler tail lives at d in (1e-6, 1e-3), where the HIGH phase's 2.2e-4
+SDF error is 20-200% of d — that tail genuinely needs HIGHEST. The mid
+phase can only cheapen rung 1's bulk approach (~12 ms of 29), which its own
+entry sort + polish-phase duplication eats. Kept as the record of WHY
+mid_eps stays off; see also exp_mid.py and docs/ARCHITECTURE.md.
 """
 from __future__ import annotations
 

@@ -69,12 +69,12 @@ def main():
     # refine entry sort (full image, 9 leaves, difficulty key)
     @jax.jit
     def entry_sort(pr):
-        pos, t, budget = __import__("cudaneuralrender_tpu.ops.compaction",
+        pos, t = __import__("cudaneuralrender_tpu.ops.compaction",
                                     fromlist=["x"]).sort_pack_leaves(
-            near, (pr.pos, pr.t, pr.budget), order=resolve)
+            near, (pr.pos, pr.t), order=resolve)
         lane = jnp.arange(n, dtype=jnp.int32)
         return renderer.PackedRays(
-            pos=pos, t=t, budget=budget,
+            pos=pos, t=t,
             active=lane < jnp.sum(near.astype(jnp.int32)),
             converged=jnp.zeros_like(near))
 
@@ -89,7 +89,7 @@ def main():
         @jax.jit
         def go(pr, steps):
             p = pr if i == 0 else renderer._pr_sort(pr, pr.active, within=within)
-            sub, dirs_b = renderer._pr_bucket(p, cap, steps, cam_to_world, cfg)
+            sub, dirs_b = renderer._pr_bucket(p, cap, steps, cam_to_world, origin, cfg)
             sub = rung_kernel(sub, dirs_b, origin, cfg.march_eps,
                               jax.lax.Precision.HIGHEST,
                               (None if rsteps == 0 else rsteps),

@@ -92,7 +92,7 @@ def main():
 
     prs = renderer._pr_sort(prn, prn.active)
     cap0 = n // 4
-    sub0, dirs0 = renderer._pr_bucket(prs, cap0, stateA.steps, cam_to_world, cfg)
+    sub0, dirs0 = renderer._pr_bucket(prs, cap0, stateA.steps, cam_to_world, origin, cfg)
 
     # --- stage C: rung0 kernel (32 HIGHEST steps, real convergence)
     timed(f"C rung0 kernel 32 HIGHEST steps ({cap0})", loop_state(
@@ -112,7 +112,7 @@ def main():
     # --- stage D: rung1 (sort within cap0 + 96 HIGHEST steps on N/32)
     cap1 = n // 32
     prD = renderer._pr_sort(prC, prC.active, within=cap0)
-    sub1, dirs1 = renderer._pr_bucket(prD, cap1, subC.steps, cam_to_world, cfg)
+    sub1, dirs1 = renderer._pr_bucket(prD, cap1, subC.steps, cam_to_world, origin, cfg)
 
     @jax.jit
     def sortD(p):
@@ -139,7 +139,7 @@ def main():
     # --- stage E: terminal rung (sort within cap1 + run-to-dry on N/256)
     cap2 = max(n // 256, cfg.compact_min)
     prF = renderer._pr_sort(prE, prE.active, within=cap1)
-    sub2, dirs2 = renderer._pr_bucket(prF, cap2, subD.steps, cam_to_world, cfg)
+    sub2, dirs2 = renderer._pr_bucket(prF, cap2, subD.steps, cam_to_world, origin, cfg)
     timed(f"E terminal kernel run-to-dry ({cap2})", loop_state(
         lambda st, d: megakernel.march_pallas_state(
             params, origin, d, st, cfg, 0.0, tile=8192,

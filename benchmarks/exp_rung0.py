@@ -67,7 +67,7 @@ def main():
         pr0._replace(active=near, converged=jnp.zeros_like(near)), near,
         order=resolve)
     cap = n // 4
-    sub0, dirs0 = renderer._pr_bucket(prs, cap, stateA.steps, cam_to_world, cfg)
+    sub0, dirs0 = renderer._pr_bucket(prs, cap, stateA.steps, cam_to_world, origin, cfg)
     float(_sync_val(sub0))
 
     @functools.partial(jax.jit, static_argnames=("tile", "omega", "steps16"))

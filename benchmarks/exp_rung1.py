@@ -64,14 +64,14 @@ def main():
     pr0 = renderer._pack_init(stateA, dirs)
     near = pr0.converged | pr0.active
     from cudaneuralrender_tpu.ops import compaction
-    pos, t, budget = compaction.sort_pack_leaves(
-        near, (pr0.pos, pr0.t, pr0.budget), order=resolve)
+    pos, t = compaction.sort_pack_leaves(
+        near, (pr0.pos, pr0.t), order=resolve)
     lane = jnp.arange(n, dtype=jnp.int32)
-    prs = renderer.PackedRays(pos=pos, t=t, budget=budget,
+    prs = renderer.PackedRays(pos=pos, t=t,
                               active=lane < jnp.sum(near.astype(jnp.int32)),
                               converged=jnp.zeros_like(near))
     cap0 = n // 4
-    sub0, dirs0 = renderer._pr_bucket(prs, cap0, stateA.steps, cam_to_world, cfg)
+    sub0, dirs0 = renderer._pr_bucket(prs, cap0, stateA.steps, cam_to_world, origin, cfg)
 
     @functools.partial(jax.jit, static_argnames=("omega",))
     def rung0(sub, dirs_b, omega):
@@ -89,7 +89,7 @@ def main():
         return renderer._pr_sort(pr, pr.active, within=cap0)
 
     pr1s = sort1(pr1)
-    sub1, dirs1 = renderer._pr_bucket(pr1s, cap1, sub0_out.steps, cam_to_world, cfg)
+    sub1, dirs1 = renderer._pr_bucket(pr1s, cap1, sub0_out.steps, cam_to_world, origin, cfg)
     float(_sync_val(sub1))
 
     @functools.partial(jax.jit, static_argnames=("omega", "nsteps"))

@@ -244,9 +244,16 @@ class PackedRays(NamedTuple):
 
     pos: jax.Array        # [N] int32 original ray index of this lane
     t: jax.Array          # [N] distance along ray
-    budget: jax.Array     # [N] remaining march budget
     active: jax.Array     # [N] bool still marching
     converged: jax.Array  # [N] bool hit surface
+
+    # The march budget is NOT carried: for every ray that can still march,
+    # budget == tfar(pos) - (t - tnear(pos)) exactly — the invariant holds
+    # through plain steps, relaxed backtracks (refunded), the prepass skip
+    # (charged), and the grid walk, and breaks only on a ray's FINAL miss
+    # step, after which its budget is never read again. Buckets recompute
+    # it from (pos, t) like ray directions (_pr_bucket), keeping the
+    # compaction sorts one f32 payload slimmer.
 
 
 def _pack_init(state: march.MarchState, dirs) -> PackedRays:
@@ -260,7 +267,7 @@ def _pack_init(state: march.MarchState, dirs) -> PackedRays:
     n = dirs.shape[0]
     return PackedRays(
         pos=jnp.arange(n, dtype=jnp.int32),
-        t=state.t, budget=state.budget,
+        t=state.t,
         active=state.active, converged=state.converged,
     )
 
@@ -271,15 +278,23 @@ def _pr_sort(pr: PackedRays, mask, within=None, order=None) -> PackedRays:
     )
 
 
-def _pr_bucket(pr: PackedRays, cap: int, steps, cam_to_world, config: RenderConfig):
+def _pr_bucket(pr: PackedRays, cap: int, steps, cam_to_world, origin,
+               config: RenderConfig):
     """Prefix bucket as (MarchState, dirs [cap,3]) — contiguous slices;
-    directions recomputed from the carried ray indices."""
-    state = march.MarchState(
-        t=pr.t[:cap], budget=pr.budget[:cap],
-        active=pr.active[:cap], converged=pr.converged[:cap], steps=steps,
-    )
+    directions AND the march budget recomputed from the carried ray indices
+    (see the PackedRays budget invariant)."""
     dirs = camera_lib.ray_dirs_from_index(
         cam_to_world, pr.pos[:cap], config.height, config.width, config.focal
+    )
+    tnear, tfar, bhit = march.intersect_sphere(
+        origin, dirs, config.bound_center, config.bound_radius
+    )
+    budget = jnp.where(
+        bhit, tfar - (pr.t[:cap] - jnp.maximum(tnear, 0.0)), 0.0
+    )
+    state = march.MarchState(
+        t=pr.t[:cap], budget=budget,
+        active=pr.active[:cap], converged=pr.converged[:cap], steps=steps,
     )
     return state, dirs
 
@@ -291,7 +306,7 @@ def _pr_merge(pr: PackedRays, sub: march.MarchState) -> PackedRays:
         return jax.lax.dynamic_update_slice(full, part, (0,))
 
     return pr._replace(
-        t=put(pr.t, sub.t), budget=put(pr.budget, sub.budget),
+        t=put(pr.t, sub.t),
         active=put(pr.active, sub.active), converged=put(pr.converged, sub.converged),
     )
 
@@ -325,7 +340,7 @@ def _run_schedule(
         cap = max(n // div, config.compact_min)
         if cap >= n:
             if rung_steps == 0:
-                state, dirs_b = _pr_bucket(pr, n, steps, cam_to_world, config)
+                state, dirs_b = _pr_bucket(pr, n, steps, cam_to_world, origin, config)
                 state = march.march_stage(
                     f, origin, dirs_b, state,
                     num_steps=config.max_steps,
@@ -338,7 +353,7 @@ def _run_schedule(
                 pr, steps = _pr_merge(pr, state), state.steps
             continue
         pr = _pr_sort(pr, pr.active, within=within)
-        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, config)
+        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, origin, config)
         use_tail = (
             tail_kernel is not None and rung_steps == 0
             and cap <= config.tail_pallas_max
@@ -548,21 +563,22 @@ def _refine_phase(
     div0, steps0 = schedule[0]
     cap = max(n // div0, config.compact_min)
     if cap < n:
-        # Slim entry sort: only (pos, t, budget) ride it — the packed
-        # ``active`` prefix is an iota comparison and ``converged`` is
-        # cleared phase-wide anyway. ``order`` (the coarse resolve step,
-        # difficulty-ordered packing) keys the sort so stragglers cluster
-        # into few megakernel tiles and easy tiles early-exit bounded rungs.
-        pos, t, budget = compaction.sort_pack_leaves(
-            near, (pr.pos, pr.t, pr.budget), order=order
+        # Slim entry sort: only (pos, t) ride it — the packed ``active``
+        # prefix is an iota comparison, ``converged`` is cleared phase-wide
+        # anyway, and the budget is recomputed per bucket (PackedRays
+        # invariant). ``order`` (the coarse resolve step, difficulty-ordered
+        # packing) keys the sort so stragglers cluster into few megakernel
+        # tiles and easy tiles early-exit bounded rungs.
+        pos, t = compaction.sort_pack_leaves(
+            near, (pr.pos, pr.t), order=order
         )
         lane = jnp.arange(n, dtype=jnp.int32)
         pr = PackedRays(
-            pos=pos, t=t, budget=budget,
+            pos=pos, t=t,
             active=lane < refine_count,
             converged=jnp.zeros_like(near),
         )
-        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, config)
+        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, origin, config)
         # Constant over-relaxation is OFF in the phase's first rung: its bulk
         # is rays sitting ~coarse_eps from the surface head-on, where a fixed
         # omega>1 overshoots and backtracks every other step (measured +11 ms
@@ -589,7 +605,7 @@ def _refine_phase(
     else:
         state, dirs_b = _pr_bucket(
             pr._replace(active=near, converged=jnp.zeros_like(near)), n, steps,
-            cam_to_world, config,
+            cam_to_world, origin, config,
         )
         state = march.march_stage(
             f, origin, dirs_b, state,
@@ -783,13 +799,19 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
     return rgba, pr, hit_count
 
 
-@jax.jit
-def _restore_state(pr: PackedRays, steps) -> march.MarchState:
+@functools.partial(jax.jit, static_argnames=("config",))
+def _restore_state(pr: PackedRays, steps, origin, dirs,
+                   config: RenderConfig) -> march.MarchState:
     """Restore a packed bundle's march state to image order (slow path only:
-    continuation stages index rays by image position)."""
-    t, budget, active, converged = compaction.sort_restore_leaves(
-        pr.pos, (pr.t, pr.budget, pr.active, pr.converged)
+    continuation stages index rays by image position). The budget is
+    reconstructed from the invariant budget == tfar - (t - tnear)."""
+    t, active, converged = compaction.sort_restore_leaves(
+        pr.pos, (pr.t, pr.active, pr.converged)
     )
+    tnear, tfar, bhit = march.intersect_sphere(
+        origin, dirs, config.bound_center, config.bound_radius
+    )
+    budget = jnp.where(bhit, tfar - (t - jnp.maximum(tnear, 0.0)), 0.0)
     return march.MarchState(
         t=t, budget=budget, active=active, converged=converged,
         steps=jnp.asarray(steps, jnp.int32),
@@ -916,11 +938,11 @@ def render_staged(
     # wasn't exhausted inside the schedule, or more pixels hit than the
     # shading bucket holds. Restore the packed state to image order and
     # continue with host-driven stages + dense shade.
-    full = _restore_state(pr, steps_done)
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
     )
+    full = _restore_state(pr, steps_done, origin, dirs, config)
 
     while True:
         active_count = int(jnp.sum(full.active))
