@@ -47,29 +47,47 @@ def make_kernel(variant, n_layers, hidden, steps, precision, act_dtype=jnp.float
                 return _mlp_chain_3pass(w_hi_ref, w_lo_ref, b_ref, x, n_layers)[0:1, :]
             return _mlp_chain(w_ref, b_ref, x, n_layers, precision)[0:1, :]
 
-        if variant == "carried_x":
-            x0 = jnp.zeros((hidden, T), act_dtype)
-
-            def body(carry):
-                step, t, x = carry
-                pts = (origin + dirs * t).astype(act_dtype)
-                x = jax.lax.dynamic_update_slice(x, pts, (0, 0))
-                d = chain_from_x(x).astype(jnp.float32)
-                return step + 1, t + d, x
-
-            def cond(carry):
-                return carry[0] < steps
-
-            _, t, _ = jax.lax.while_loop(cond, body, (0, t0_ref[:], x0))
-            t_out[:] = t
-            return
-
         def sdf(t):
             pts = origin + dirs * t
             x = jnp.concatenate(
                 [pts, jnp.zeros((pad, T), jnp.float32)], axis=0
             ).astype(act_dtype)
             return chain_from_x(x).astype(jnp.float32)
+
+        if variant == "march_relax":
+            # full megakernel bookkeeping: relax backtrack state + budget +
+            # masks + resolve tracking (the production coarse kernel body)
+            def body(carry):
+                step, t, budget, active, conv, res, prev_r, step_len = carry
+                d = sdf(t)
+                act = active > 0
+                sor_fail = act & (step_len > prev_r) & (d + prev_r < step_len)
+                near = act & ~sor_fail & (d < 1e-6)
+                om = jnp.where(step_len < 0.0, 1.0, 1.6)
+                stepv = jnp.where(sor_fail, prev_r - step_len,
+                                  jnp.where(near, d, om * d))
+                budget = budget - jnp.where(act, stepv, 0.0)
+                miss = act & ~sor_fail & (budget <= 0.0)
+                moved = act & ~miss
+                t = jnp.where(moved, t + stepv, t)
+                conv_now = moved & near
+                active = (moved & ~conv_now).astype(jnp.float32)
+                conv = jnp.where(conv_now, 1.0, conv)
+                res = jnp.where(act & (active == 0.0),
+                                (step + 1).astype(jnp.float32), res)
+                prev_r = jnp.where(moved & ~sor_fail, d, prev_r)
+                step_len = jnp.where(moved, stepv, step_len)
+                return step + 1, t, budget, active, conv, res, prev_r, step_len
+
+            def cond(carry):
+                return carry[0] < steps
+
+            z = jnp.zeros_like(t0_ref[:])
+            fin = jax.lax.while_loop(
+                cond, body,
+                (0, t0_ref[:], z + 3.0, z + 1.0, z, z, z, z))
+            t_out[:] = fin[1] + fin[4] * 1e-9
+            return
 
         if variant == "chain_only":
             # MLP evals only; t update is one add (the floor).
@@ -173,14 +191,12 @@ def main():
     run_variant("chain_only 3PASS(HIGH emu) tile=8192", "chain_only",
                 weights, biases, dirs_t, t0, origin_c, 8192, HI, rtt,
                 three_pass=True)
-    run_variant("carried_x HIGHEST tile=8192", "carried_x",
-                weights, biases, dirs_t, t0, origin_c, 8192, HI, rtt)
-    run_variant("march_state HIGHEST tile=8192", "march_state",
-                weights, biases, dirs_t, t0, origin_c, 8192, HI, rtt)
     run_variant("march_state DEFAULT tile=8192", "march_state",
                 weights, biases, dirs_t, t0, origin_c, 8192, DEF, rtt)
-    run_variant("carried_x DEFAULT tile=8192", "carried_x",
+    run_variant("march_relax DEFAULT tile=8192", "march_relax",
                 weights, biases, dirs_t, t0, origin_c, 8192, DEF, rtt)
+    run_variant("march_relax HIGHEST tile=8192", "march_relax",
+                weights, biases, dirs_t, t0, origin_c, 8192, HI, rtt)
     return 0
 
 

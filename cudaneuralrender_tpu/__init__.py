@@ -39,7 +39,8 @@ if _jax.config.jax_compilation_cache_dir is None:
 from .models import mlp
 from .models.checkpoint import load, load_keras_h5, load_pytree, save_pytree
 from .models.mlp import DenseParams, MLPParams, init_mlp
-from .ops import camera, compaction, march, sdf, shading
+from .ops import bounds, camera, compaction, march, sdf, shading
+from .ops.bounds import fit_bound_sphere
 from .ops.camera import Camera
 from .render.renderer import (
     Renderer,
@@ -58,8 +59,10 @@ __all__ = [
     "MLPParams",
     "RenderConfig",
     "Renderer",
+    "bounds",
     "camera",
     "compaction",
+    "fit_bound_sphere",
     "image_io",
     "init_mlp",
     "load",
