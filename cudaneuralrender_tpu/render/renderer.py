@@ -381,6 +381,28 @@ def _run_schedule(
     return pr, steps, within
 
 
+
+@functools.lru_cache(maxsize=8)
+def _block_order_np(h: int, w: int, bh: int, bw: int):
+    """Static pixel-index permutation grouping lanes into 2D image blocks.
+
+    The coarse megakernel's tiles are contiguous LANE segments; in image
+    (row-major) order an 8192-lane tile spans ~4 full rows at 1080p, so
+    nearly every mid-image tile contains object pixels and marches ~30
+    steps before its per-tile early exit. Grouping lanes into bh x bw
+    blocks first localizes the object: pure-sky blocks anywhere in the
+    image exit immediately. The permutation is free — directions and the
+    budget are already recomputed from the carried pixel index per bucket,
+    and the final restore sort keys on that index regardless of order.
+    Per-ray march results are bit-identical (the coarse kernel runs to
+    dry per lane; tiling affects only execution time)."""
+    import numpy as _np
+
+    ys, xs = _np.mgrid[0:h, 0:w]
+    key = (ys // bh) * ((w + bw - 1) // bw) + (xs // bw)
+    return _np.argsort(key.ravel(), kind="stable").astype(_np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, frame):
     """The full staged-compaction march as ONE compiled program.
@@ -467,6 +489,19 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         from ..pallas import megakernel
         from ..pallas.fused_mlp import should_interpret
 
+        pos0 = None
+        if config.coarse_block and not use_prepass and not config.grid_res:
+            # Block-major lane order (see _block_order_np): rebuild dirs and
+            # the init state in that order; downstream stages only ever see
+            # the carried pixel index, so nothing else changes.
+            bh, bw = config.coarse_block
+            pos0 = jnp.asarray(_block_order_np(config.height, config.width, bh, bw))
+            dirs = camera_lib.ray_dirs_from_index(
+                cam_to_world, pos0, config.height, config.width, config.focal
+            )
+            state = march.init_state(
+                origin, dirs, config.bound_center, config.bound_radius
+            )
         state, resolve = megakernel.march_pallas_state(
             params, origin, dirs, state, config, frame,
             tile=8192, march_eps=eps_a,
@@ -478,9 +513,11 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         # coarse resolve step = the refine phase's difficulty key: rays
         # that took many coarse steps (grazing incidence) also need the
         # deep refine tail, so ordered packing clusters them into few
-        # tiles. Valid while pr stays in image order (consumed by the first
-        # ladder phase's entry sort).
+        # tiles. Valid while pr stays in the coarse lane order (consumed by
+        # the first ladder phase's entry sort).
         pr = _pack_init(state, dirs)
+        if pos0 is not None:
+            pr = pr._replace(pos=pos0)
         difficulty = resolve if config.ordered_packing else None
         steps, within = state.steps, None
     else:

@@ -210,6 +210,19 @@ class RenderConfig:
     # bucket. Neural scenes at HIGHEST only; harmless no-op otherwise.
     refine_pallas: bool = True
 
+    # Lane order for the coarse megakernel pass: group rays into (rows,
+    # cols) image blocks so each 8192-lane kernel tile covers a compact 2D
+    # region instead of ~4 full image rows. Pure-sky blocks anywhere in the
+    # frame then early-exit immediately, while row-segment tiles almost all
+    # straddle the object at 1080p. Free to apply: directions/budget are
+    # recomputed from the carried pixel index and the restore sort keys on
+    # it, and per-ray results are bit-identical (the kernel runs to dry per
+    # lane). () disables (image order). Skipped when prepass/grid phases
+    # produced an image-order init state. Measured +1.5% at 1080p (flat
+    # across 128x128..256x256; 32x256 slightly negative — benchmarks
+    # /tmp-era sweep recorded in docs/ARCHITECTURE.md).
+    coarse_block: Tuple[int, int] = (128, 128)
+
     # Run the whole coarse phase (mixed mode) as one run-to-dry megakernel
     # pass over the full image at DEFAULT precision: per-tile early exit IS
     # the compaction (sky tiles die in a few steps), so phase A needs no
