@@ -54,10 +54,12 @@ class Camera:
         return cls(rx, ry, t)
 
     @classmethod
-    def from_cli(cls, rx: float = 0.0, ry: float = 0.0, zoom: float = 2.0) -> "Camera":
+    def from_cli(cls, rx: float = 0.0, ry: float = 0.0, zoom: float = 2.0,
+                 tx: float = 0.0, ty: float = 0.0) -> "Camera":
         """Mirror the reference CLI: -rx -ry -z (main.cpp:591-626).
-        zoom z means viewTranslation.z = -z (default -2)."""
-        return cls(rotation_x=rx, rotation_y=ry, translation=(0.0, 0.0, -zoom))
+        zoom z means viewTranslation.z = -z (default -2). tx/ty pan the
+        view laterally — the reference's middle-drag (main.cpp:330-336)."""
+        return cls(rotation_x=rx, rotation_y=ry, translation=(tx, ty, -zoom))
 
 
 def _rot_x(deg: jax.Array) -> jax.Array:

@@ -5,7 +5,7 @@ with mouse-drag rotate/pan/zoom and keyboard shortcuts
 (src/main.cpp:130-205, 283-353, 480-519). TPU hosts have no GL stack, so the
 TPU-native equivalent is a zero-dependency HTTP viewer: a small stdlib
 ``http.server`` that renders frames on demand and a canvas page with the same
-controls (left-drag rotate, wheel zoom, middle-drag pan, space = save frame,
+controls (left-drag rotate, wheel zoom, shift-drag pan, space = save frame,
 f = advance animation frame — matching main.cpp's bindings where they make
 sense in a browser).
 """
@@ -31,10 +31,10 @@ _PAGE = """<!DOCTYPE html>
  canvas { display:block; margin:auto; image-rendering:pixelated; }
 </style></head>
 <body>
-<div id="hud">drag=rotate wheel=zoom shift-drag=pan | <span id="stats"></span></div>
+<div id="hud">drag=rotate wheel=zoom shift-drag=pan space=save f=frame | <span id="stats"></span></div>
 <canvas id="c"></canvas>
 <script>
-let rx=%RX%, ry=%RY%, zoom=%ZOOM%, frame=0, busy=false, dirty=true;
+let rx=%RX%, ry=%RY%, zoom=%ZOOM%, tx=0, ty=0, frame=0, busy=false, dirty=true;
 const c=document.getElementById('c'), ctx=c.getContext('2d');
 const stats=document.getElementById('stats');
 let drag=null;
@@ -45,20 +45,20 @@ window.addEventListener('mousemove', e=>{
   if(!drag) return;
   const dx=e.clientX-drag[0], dy=e.clientY-drag[1];
   drag=[e.clientX,e.clientY];
-  if(e.shiftKey){ /* pan reserved */ } else { ry+=dx*0.25; rx+=dy*0.25; }
+  if(e.shiftKey){ tx+=dx*0.002*zoom; ty+=dy*0.002*zoom; } else { ry+=dx*0.25; rx+=dy*0.25; }
   dirty=true;
 });
 c.addEventListener('wheel', e=>{ zoom=Math.max(0.2, zoom+e.deltaY*0.002); dirty=true; e.preventDefault(); });
 window.addEventListener('keydown', e=>{
-  if(e.key===' '){ fetch(`/save?rx=${rx}&ry=${ry}&zoom=${zoom}&frame=${frame}`); }
+  if(e.key===' '){ fetch(`/save?rx=${rx}&ry=${ry}&zoom=${zoom}&tx=${tx}&ty=${ty}&frame=${frame}`); }
   if(e.key==='f'){ frame=(frame+1)%360; dirty=true; }
-  if(e.key==='q'){ console.log('camera', rx, ry, zoom); }
+  if(e.key==='q'){ console.log('camera', rx, ry, zoom, tx, ty); }
 });
 async function loop(){
   if(dirty && !busy){
     busy=true; dirty=false;
     const t0=performance.now();
-    const r=await fetch(`/frame?rx=${rx}&ry=${ry}&zoom=${zoom}&frame=${frame}`);
+    const r=await fetch(`/frame?rx=${rx}&ry=${ry}&zoom=${zoom}&tx=${tx}&ty=${ty}&frame=${frame}`);
     const blob=await r.blob();
     const img=await createImageBitmap(blob);
     ctx.drawImageSmoothingEnabled=false;
@@ -73,8 +73,11 @@ loop();
 """
 
 
-def serve(renderer, camera: Camera = None, *, port: int = 8000, host: str = "127.0.0.1"):
-    """Start the viewer server (blocking). renderer: render.renderer.Renderer."""
+def make_server(renderer, camera: Camera = None, *, port: int = 8000,
+                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    """Build the viewer HTTP server (not started). renderer:
+    render.renderer.Renderer. Exposed separately from ``serve`` so tests and
+    embedders can run it on a thread and shut it down cleanly."""
     camera = camera or Camera()
     init_rx = float(np.asarray(camera.rotation_x))
     init_ry = float(np.asarray(camera.rotation_y))
@@ -92,6 +95,8 @@ def serve(renderer, camera: Camera = None, *, port: int = 8000, host: str = "127
                 rx=float(q.get("rx", [init_rx])[0]),
                 ry=float(q.get("ry", [init_ry])[0]),
                 zoom=float(q.get("zoom", [init_zoom])[0]),
+                tx=float(q.get("tx", [0.0])[0]),
+                ty=float(q.get("ty", [0.0])[0]),
             )
             frame = float(q.get("frame", [0])[0])
             with lock:
@@ -141,7 +146,12 @@ def serve(renderer, camera: Camera = None, *, port: int = 8000, host: str = "127
                 self.send_response(404)
                 self.end_headers()
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(renderer, camera: Camera = None, *, port: int = 8000, host: str = "127.0.0.1"):
+    """Start the viewer server (blocking). renderer: render.renderer.Renderer."""
+    server = make_server(renderer, camera, port=port, host=host)
     print(f"viewer: http://{host}:{port}/  (ctrl-c to stop)")
     try:
         server.serve_forever()

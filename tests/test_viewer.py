@@ -1,0 +1,47 @@
+"""Browser-viewer server (render/viewer.py) — the GLUT-window equivalent
+(reference src/main.cpp:130-205,283-353): frame endpoint, pan/zoom params,
+save endpoint, HTML page with the control bindings."""
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import cudaneuralrender_tpu as cnr
+from cudaneuralrender_tpu.render import viewer
+
+
+@pytest.fixture(scope="module")
+def server(plane1_params, tmp_path_factory):
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw", max_steps=200)
+    r = cnr.Renderer(plane1_params, cfg)
+    srv = viewer.make_server(r, cnr.Camera(), port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.read()
+
+
+def test_page_served(server):
+    page = _get(server + "/").decode()
+    assert "canvas" in page and "shift-drag=pan" in page
+
+
+def test_frame_png_and_pan_changes_image(server):
+    from PIL import Image
+
+    base = _get(server + "/frame?rx=0&ry=0&zoom=2")
+    panned = _get(server + "/frame?rx=0&ry=0&zoom=2&tx=0.4&ty=0.0")
+    a = np.asarray(Image.open(io.BytesIO(base)))
+    b = np.asarray(Image.open(io.BytesIO(panned)))
+    assert a.shape == (32, 32, 4)
+    assert (a[..., :3].sum(-1) > 0).any()
+    assert not np.array_equal(a, b), "pan must move the image"
+    # lateral pan: same hit count, shifted silhouette (object fully in view)
+    assert abs(int((a[..., 3] > 0).sum()) - int((b[..., 3] > 0).sum())) < 60
