@@ -35,6 +35,7 @@ from ..ops import camera as camera_lib
 from ..ops import march, shading
 from ..ops.camera import Camera
 from ..utils.config import RenderConfig
+from . import scenes
 from .fused_mlp import _mlp_chain, _mlp_chain_3pass, pack_params, split_hi_lo
 
 
@@ -52,7 +53,7 @@ def _march_megakernel(
     n_inputs: int,
     max_steps: int,
     march_eps: float,
-    use_tanh: bool,
+    compose,
     precision=jax.lax.Precision.HIGHEST,
     num_steps: int | None = None,
     relax_omega: float = 0.0,
@@ -96,9 +97,10 @@ def _march_megakernel(
             d = _mlp_chain_3pass(w_hi_ref, w_lo_ref, b_ref, x, n_layers)[0:1, :]
         else:
             d = _mlp_chain(w_ref, b_ref, x, n_layers, precision)[0:1, :]  # [1, T]
-        if use_tanh:
-            d = jnp.tanh(d)
-        return d
+        # In-kernel CSG composition (reference sceneSDF runs inside its
+        # march kernel too, volumeRender_kernel.cu:217-230): pure VPU math
+        # on the [1, T] distance row, see pallas/scenes.py.
+        return compose(pts, d, frame_ref[0, 0])
 
     start = steps0_ref[0, 0].astype(jnp.int32)
 
@@ -207,7 +209,12 @@ def march_pallas_state(
     n_pad = n_tiles * tile
 
     weights, biases, n_in, hidden = pack_params(params)
-    use_tanh = config.scene == "neural_tanh"
+    compose = scenes.compose_fn(config.scene)
+    if compose is None:
+        raise ValueError(
+            f"megakernel does not support scene {config.scene!r}; "
+            "the XLA march path handles it"
+        )
     # Mosaic lowers DEFAULT/HIGHEST dots only; HIGH runs as the emulated
     # 3-pass scheme on pre-split bf16 weight halves (fused_mlp.split_hi_lo).
     three_pass = precision == jax.lax.Precision.HIGH
@@ -231,7 +238,7 @@ def march_pallas_state(
         n_inputs=config.num_inputs,
         max_steps=config.max_steps,
         march_eps=config.march_eps if march_eps is None else march_eps,
-        use_tanh=use_tanh,
+        compose=compose,
         precision=precision,
         num_steps=num_steps,
         relax_omega=relax_omega,
@@ -336,10 +343,10 @@ def render_image_pallas(
     in XLA — it is not march-rate critical and keeps dynamic gathers out of
     the kernel (SURVEY.md §7 hard-parts note).
     """
-    if config.scene not in ("neural_raw", "neural_tanh"):
+    if not scenes.kernel_supported(config.scene):
         raise ValueError(
-            f"pallas megakernel supports neural scenes only, got {config.scene!r}; "
-            "CSG scenes use render_image"
+            f"pallas megakernel does not support scene {config.scene!r}; "
+            "use render_image"
         )
     from ..render.renderer import scene_fn
 

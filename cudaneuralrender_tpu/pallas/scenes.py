@@ -1,0 +1,101 @@
+"""In-kernel CSG scene composition for the Pallas megakernel.
+
+The reference's checked-in sceneSDF composes the neural field with analytic
+CSG (manySphere at volumeRender_kernel.cu:217-230); in this framework those
+scenes originally marched through the XLA fallback — measured 5-17x slower
+at 1080p than the neural scenes' megakernel path (310 ms many_sphere,
+1000 ms many_cylinder_cut vs 59 ms neural_raw). The composition itself is
+pure elementwise VPU math on the kernel's [1, T] distance row, so this
+module provides each scene as a transposed-layout function
+
+    compose(pts [3, T], d [1, T], frame scalar) -> [1, T]
+
+mirroring ops/sdf.py bit-for-bit (same op order; the lax.scan over centers
+becomes an unrolled Python loop — identical arithmetic). The megakernel
+applies it right after the MLP chain each march step, exactly where the
+reference's sceneSDF runs inside its march kernel.
+
+Kept separate from ops/sdf.py because the layouts differ ([..., 3] points
+vs [3, T] rows) and kernel code must avoid constructs Mosaic cannot lower
+(scan-with-dynamic-indexing, bf16 reshapes).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sdf as sdf_ops
+
+KERNEL_SCENES = frozenset(
+    {
+        "neural_raw",
+        "neural_tanh",
+        "many_sphere",
+        "many_sphere_cut",
+        "many_cylinder_cut",
+        "displacement",
+    }
+)
+
+
+def kernel_supported(scene: str) -> bool:
+    """Scenes the megakernel can march (analytic-only 'sphere' excluded —
+    it has no MLP chain and the dense XLA path is already trivial)."""
+    return scene in KERNEL_SCENES
+
+
+def _smooth_union(d1, d2, k):
+    h = jnp.clip(0.5 + 0.5 * (d2 - d1) / k, 0.0, 1.0)
+    return d2 * (1.0 - h) + d1 * h - k * h * (1.0 - h)
+
+
+def _smooth_subtract(d1, d2, k):
+    h = jnp.clip(0.5 - 0.5 * (d1 + d2) / k, 0.0, 1.0)
+    return d1 * (1.0 - h) - d2 * h + k * h * (1.0 - h)
+
+
+def _many_sphere(pts, d, frame, do_union):
+    # ops/sdf.many_sphere with the 9-center scan unrolled (reference
+    # :176-196); centers' z is frame-animated.
+    z_anim = -0.7 + frame * (2.0 * 0.7 / 360.0)
+    centers = np.array(sdf_ops._MANY_SPHERE_CENTERS)  # [9, 3] static
+    for cx, cy, _ in centers:
+        dx = pts[0:1] - cx
+        dy = pts[1:2] - cy
+        dz = pts[2:3] + z_anim  # center z = -z_anim
+        sd = jnp.sqrt(dx * dx + dy * dy + dz * dz) - 0.1
+        d = _smooth_union(d, sd, 0.01) if do_union else _smooth_subtract(d, sd, 0.01)
+    return d
+
+
+def _many_cylinder_cut(pts, d):
+    # ops/sdf.many_cylinder_cut unrolled (reference :156-174): 300 smooth
+    # subtractions of thin cylinders on a static offset grid.
+    for ox, oy in np.array(sdf_ops._MANY_CYL_OFFSETS):
+        dx = pts[0:1] + ox - 0.02
+        dy = pts[1:2] + oy - 0.02
+        cyl = jnp.sqrt(dx * dx + dy * dy) - 0.02
+        d = _smooth_subtract(d, cyl, 0.01)
+    return d
+
+
+def _displacement(pts, d):
+    s = jnp.sin(5.0 * pts[0:1]) * jnp.sin(5.0 * pts[1:2]) * jnp.sin(5.0 * pts[2:3])
+    return jnp.tanh(d) + s * 0.05
+
+
+def compose_fn(scene: str):
+    """Kernel-layout scene composition, or None for unsupported scenes."""
+    if scene == "neural_raw":
+        return lambda pts, d, frame: d
+    if scene == "neural_tanh":
+        return lambda pts, d, frame: jnp.tanh(d)
+    if scene == "many_sphere":
+        return lambda pts, d, frame: _many_sphere(pts, d, frame, True)
+    if scene == "many_sphere_cut":
+        return lambda pts, d, frame: _many_sphere(pts, d, frame, False)
+    if scene == "many_cylinder_cut":
+        return lambda pts, d, frame: _many_cylinder_cut(pts, d)
+    if scene == "displacement":
+        return lambda pts, d, frame: _displacement(pts, d)
+    return None

@@ -170,7 +170,9 @@ def _tail_kernel_fn(params, config: RenderConfig, frame):
     Only neural scenes march in-kernel (CSG composition stays in XLA), and
     only when the config opts in via tail_pallas.
     """
-    if not config.tail_pallas or config.scene not in ("neural_raw", "neural_tanh"):
+    from ..pallas import scenes as _kscenes
+
+    if not config.tail_pallas or not _kscenes.kernel_supported(config.scene):
         return None
     from ..pallas import megakernel
     from ..pallas.fused_mlp import should_interpret
@@ -199,9 +201,11 @@ def _rung_kernel_fn(params, config: RenderConfig, frame, relax: float):
     use native 6-pass dots; HIGH rungs (mid_eps ladder phase) run the
     emulated 3-pass chain on pre-split bf16 weights.
     """
+    from ..pallas import scenes as _kscenes
+
     if (
         not config.refine_pallas
-        or config.scene not in ("neural_raw", "neural_tanh")
+        or not _kscenes.kernel_supported(config.scene)
         or (relax and config.relax_newton)
     ):
         return None
@@ -473,10 +477,12 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
             bound=gbound, max_steps=config.max_steps,
         )
     relax = config.relax_omega if mixed else 0.0
+    from ..pallas import scenes as _kscenes
+
     use_coarse_kernel = (
         mixed
         and config.coarse_pallas
-        and config.scene in ("neural_raw", "neural_tanh")
+        and _kscenes.kernel_supported(config.scene)
     )
     if use_coarse_kernel:
         # Whole coarse phase as ONE megakernel pass over the full image:
@@ -1057,7 +1063,7 @@ def render_sequence(
     all_stats = np.asarray(jnp.stack([s for _, s in queued]))  # one sync
 
     n_rays = config.num_rays
-    shade_cap = max(n_rays // config.shade_div, config.compact_min)
+    shade_cap = _shade_capacity(config, n_rays, _conv_within(config))
     out = []
     for (rgba, _), st, cam, fr in zip(queued, all_stats, cameras, frames):
         active_count, steps_done, hit_count, refine_overflow = (int(v) for v in st)

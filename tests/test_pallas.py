@@ -99,9 +99,21 @@ def test_megakernel_tanh_scene(plane1_params):
     np.testing.assert_array_equal(np.asarray(hit_pl), np.asarray(ref.hit))
 
 
-def test_megakernel_rejects_csg_scene(plane1_params):
-    cfg = cnr.RenderConfig(width=8, height=8, scene="many_sphere")
-    with pytest.raises(ValueError, match="neural scenes only"):
+def test_megakernel_csg_scene_matches_dense(plane1_params):
+    """CSG scenes march in-kernel too (pallas/scenes.py composes the
+    reference's sceneSDF after the MLP chain): hit/t must match the dense
+    XLA path."""
+    cfg = cnr.RenderConfig(width=16, height=16, scene="many_sphere", max_steps=200)
+    img_k = np.asarray(megakernel.render_image_pallas(
+        plane1_params, cnr.Camera(), cfg, frame=1.0, tile=128, interpret=True
+    ))
+    img_d = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg, frame=1.0))
+    np.testing.assert_allclose(img_k, img_d, atol=1e-5)
+
+
+def test_megakernel_rejects_analytic_only_scene(plane1_params):
+    cfg = cnr.RenderConfig(width=8, height=8, scene="sphere")
+    with pytest.raises(ValueError, match="does not support scene"):
         megakernel.render_image_pallas(
             plane1_params, cnr.Camera(), cfg, tile=128, interpret=True
         )
