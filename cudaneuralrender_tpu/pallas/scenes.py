@@ -69,13 +69,38 @@ def _many_sphere(pts, d, frame, do_union):
 
 
 def _many_cylinder_cut(pts, d):
-    # ops/sdf.many_cylinder_cut unrolled (reference :156-174): 300 smooth
-    # subtractions of thin cylinders on a static offset grid.
-    for ox, oy in np.array(sdf_ops._MANY_CYL_OFFSETS):
-        dx = pts[0:1] + ox - 0.02
-        dy = pts[1:2] + oy - 0.02
-        cyl = jnp.sqrt(dx * dx + dy * dy) - 0.02
-        d = _smooth_subtract(d, cyl, 0.01)
+    """ops/sdf.many_cylinder_cut via a 5x5 grid window (reference :156-174).
+
+    The 300 cylinders form a REGULAR 20x15 grid (spacing 0.1): column c has
+    center x = -0.88 + 0.1c, row r center y = 0.42 - 0.1r. smooth_subtract
+    with k=0.01 is an exact identity whenever d_scene + d_cyl >= 0.01, so a
+    cylinder matters only within 0.03 + |d_scene| of the point. Evaluating
+    the 5x5 cells around the nearest grid cell (pure per-lane arithmetic —
+    centers are affine in the cell index, NO gathers) reproduces the full
+    300-term chain exactly for every point with d_scene > -0.2; deeper
+    interior points (never produced by the march, which stops at the
+    surface) may differ — mixed-path tolerance, the "full"-precision XLA
+    path keeps the complete chain. Order preserved: candidates iterate in
+    (row, col) index order, matching the reference loop restricted to the
+    non-identity subset. 25 vs 300 smooth-subtracts per step: the scene was
+    composition-bound in-kernel (445 ms/frame at 1080p).
+    """
+    px, py = pts[0:1], pts[1:2]
+    c0 = jnp.floor((px + 0.88) / 0.1 + 0.5)  # nearest column, as float
+    r0 = jnp.floor((0.42 - py) / 0.1 + 0.5)  # nearest row
+    for dr in (-2.0, -1.0, 0.0, 1.0, 2.0):
+        for dc in (-2.0, -1.0, 0.0, 1.0, 2.0):
+            c = c0 + dc
+            r = r0 + dr
+            valid = (c >= 0.0) & (c <= 19.0) & (r >= 0.0) & (r <= 14.0)
+            ox = 0.9 - 0.1 * c
+            oy = -0.4 + 0.1 * r
+            dx = px + ox - 0.02
+            dy = py + oy - 0.02
+            cyl = jnp.sqrt(dx * dx + dy * dy) - 0.02
+            # invalid cells -> far away -> smooth_subtract identity
+            cyl = jnp.where(valid, cyl, 1e9)
+            d = _smooth_subtract(d, cyl, 0.01)
     return d
 
 
