@@ -1078,7 +1078,19 @@ def render_sequence(
                      unresolved=active_count, refine_overflow=refine_overflow,
                      fast_path=fast)
             )
-        out.append(rgba if fast else render_staged(params, cam, config, matcap, fr))
+        if fast:
+            out.append(rgba)
+        elif refine_overflow > 0:
+            # The pipelined attempt already proved this frame's near set
+            # exceeds the first refine bucket — go straight to the widened
+            # schedule instead of letting render_staged burn a second
+            # base-config render just to rediscover the overflow.
+            wider = tuple((max(d // 2, 1), s) for d, s in config.refine_schedule)
+            out.append(render_staged(
+                params, cam, config.replace(refine_schedule=wider), matcap, fr
+            ))
+        else:
+            out.append(render_staged(params, cam, config, matcap, fr))
     return out
 
 
