@@ -70,10 +70,29 @@ def main() -> int:
         sync(cnr.render_image(params, cam, cfg))
     t_seq = time.perf_counter() - t0
 
+    # Pipelined staged: per-geometry staged programs, one drain (the fast
+    # path; vmapped-dense only wins when the dense march under-utilizes the
+    # chip, which the staged megakernel no longer does).
+    cfg_staged = cfg.replace(march_impl="staged")
+
+    def sync_list(xs):
+        return float(jnp.stack([jnp.sum(x) for x in xs]).sum())
+
+    sync_list(multigeom.render_batch_staged(
+        [params for _, params in group][:1], cam, cfg_staged))  # compile
+    t0 = time.perf_counter()
+    outs = multigeom.render_batch_staged(
+        [params for _, params in group], cam, cfg_staged)
+    sync_list(outs)
+    t_staged = time.perf_counter() - t0
+
     g = len(group)
-    print(f"batched:    {t_batch*1e3:8.1f} ms for {g} geometries "
+    print(f"batched (vmap dense):    {t_batch*1e3:8.1f} ms for {g} geometries "
           f"({g*args.res*args.res/t_batch/1e6:.1f} Mrays/s aggregate)")
-    print(f"sequential: {t_seq*1e3:8.1f} ms ({t_seq/t_batch:.2f}x slower)")
+    print(f"sequential (dense):      {t_seq*1e3:8.1f} ms")
+    print(f"pipelined staged:        {t_staged*1e3:8.1f} ms "
+          f"({g*args.res*args.res/t_staged/1e6:.1f} Mrays/s aggregate, "
+          f"{t_batch/t_staged:.1f}x over vmap dense)")
 
     if args.out:
         from cudaneuralrender_tpu.utils import image_io

@@ -61,6 +61,51 @@ def render_batch_cameras(
     )(stacked_params, cameras)
 
 
+def render_batch_staged(
+    params_list: Sequence[MLPParams],
+    camera: Camera,
+    config: RenderConfig,
+    matcap: Optional[jax.Array] = None,
+    frame: jax.Array | float = 0.0,
+) -> List[jax.Array]:
+    """Render every geometry through the FAST staged path, pipelined.
+
+    One staged program per geometry is dispatched back-to-back (params are
+    traced arguments, so all geometries share one compiled program) and a
+    single fetch drains the batch — the same discipline as
+    renderer.render_sequence. This beats the vmapped dense batch
+    (render_batch) by the full staged-vs-dense margin now that the staged
+    megakernel path dominates: vmapping was only a win when the dense march
+    under-utilized the chip. render_batch remains the EP-shardable form
+    (stacked axis over the ``model`` mesh axis, parallel/sharding.py).
+    Returns a list of [H, W, 4] device arrays.
+    """
+    from .renderer import _render_scheduled, render_staged
+
+    frame = jnp.asarray(frame, jnp.float32)
+    queued = [
+        _render_scheduled(p, camera, config, matcap, frame) for p in params_list
+    ]
+    all_stats = jnp.stack([s for _, _, s in queued])
+    import numpy as np
+
+    stats = np.asarray(all_stats)  # ONE sync drains every frame
+    from .renderer import _conv_within, _shade_capacity
+
+    n_rays = config.num_rays
+    shade_cap = _shade_capacity(config, n_rays, _conv_within(config))
+    out = []
+    for (rgba, _, _), st, p in zip(queued, stats, params_list):
+        active, steps, hits, ovf = (int(v) for v in st)
+        fast = (
+            ovf == 0
+            and (active == 0 or steps >= config.max_steps)
+            and (shade_cap >= n_rays or hits <= shade_cap)
+        )
+        out.append(rgba if fast else render_staged(p, camera, config, matcap, frame))
+    return out
+
+
 def contact_sheet(images: jax.Array, cols: int = 0) -> jax.Array:
     """Tile [G, H, W, 4] renders into one image for quick inspection."""
     g, h, w, c = images.shape
