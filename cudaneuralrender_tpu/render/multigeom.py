@@ -102,7 +102,21 @@ def render_batch_staged(
             and (active == 0 or steps >= config.max_steps)
             and (shade_cap >= n_rays or hits <= shade_cap)
         )
-        out.append(rgba if fast else render_staged(p, camera, config, matcap, frame))
+        if fast:
+            out.append(rgba)
+        elif ovf > 0:
+            # The pipelined attempt already proved this geometry's near set
+            # exceeds the first refine bucket — go straight to the widened
+            # schedule (same shortcut as renderer.render_sequence) instead
+            # of re-rendering the base schedule just to rediscover it.
+            wider = tuple(
+                (max(d // 2, 1), s) for d, s in config.refine_schedule
+            )
+            out.append(render_staged(
+                p, camera, config.replace(refine_schedule=wider), matcap, frame
+            ))
+        else:
+            out.append(render_staged(p, camera, config, matcap, frame))
     return out
 
 

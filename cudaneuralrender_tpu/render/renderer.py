@@ -167,12 +167,20 @@ def render_image(
 def _tail_kernel_fn(params, config: RenderConfig, frame):
     """Megakernel continuation for terminal schedule rungs, or None.
 
-    Only neural scenes march in-kernel (CSG composition stays in XLA), and
-    only when the config opts in via tail_pallas.
+    Only kernel-supported scenes march in-kernel, and only when the config
+    opts in via tail_pallas. In march_precision="full" the contract is the
+    complete XLA composition chain (pallas/scenes.py keeps windowed
+    approximations like the 5x5 many_cylinder_cut for the mixed path), so
+    full-precision renders use the kernel only for the pure-neural scenes.
     """
     from ..pallas import scenes as _kscenes
 
     if not config.tail_pallas or not _kscenes.kernel_supported(config.scene):
+        return None
+    if (
+        config.march_precision != "mixed"
+        and config.scene not in ("neural_raw", "neural_tanh")
+    ):
         return None
     from ..pallas import megakernel
     from ..pallas.fused_mlp import should_interpret
@@ -252,12 +260,17 @@ class PackedRays(NamedTuple):
     converged: jax.Array  # [N] bool hit surface
 
     # The march budget is NOT carried: for every ray that can still march,
-    # budget == tfar(pos) - (t - tnear(pos)) exactly — the invariant holds
-    # through plain steps, relaxed backtracks (refunded), the prepass skip
-    # (charged), and the grid walk, and breaks only on a ray's FINAL miss
-    # step, after which its budget is never read again. Buckets recompute
-    # it from (pos, t) like ray directions (_pr_bucket), keeping the
-    # compaction sorts one f32 payload slimmer.
+    # budget == tfar(pos) - (t - tnear(pos)) up to f32 reassociation ulps —
+    # the invariant holds through plain steps, relaxed backtracks
+    # (refunded), the prepass skip (charged), and the grid walk, and breaks
+    # only on a ray's FINAL miss step, after which its budget is never read
+    # again. Buckets recompute it from (pos, t) like ray directions
+    # (_pr_bucket), keeping the compaction sorts one f32 payload slimmer.
+    # The recomputation is a different summation order than the carried
+    # chain, so a borderline budget<=0 miss decision can flip on isolated
+    # silhouette pixels; march_precision="full" is reference-semantics
+    # (same ordering rules) but not guaranteed bit-identical to the dense
+    # path at every pixel.
 
 
 def _pack_init(state: march.MarchState, dirs) -> PackedRays:
@@ -703,6 +716,12 @@ def _shade_final(params, origin, dirs, t, hit, world_to_cam, config: RenderConfi
         matcap=matcap,
     )
     rgba = jnp.where(hit[:, None], colors, 0.0)
+    if config.rgba_packed:
+        # The fast path carries colors through its restore sort as one u32
+        # (8-bit channels); round-trip the dense fallback through the same
+        # quantization so every frame of one config is uniformly quantized
+        # regardless of which path rendered it.
+        rgba = shading.unpack_rgba_u32(shading.pack_rgba_u32(rgba))
     return rgba.reshape(config.height, config.width, 4)
 
 
@@ -859,23 +878,6 @@ def _restore_state(pr: PackedRays, steps, origin, dirs,
         t=t, budget=budget, active=active, converged=converged,
         steps=jnp.asarray(steps, jnp.int32),
     )
-
-
-def _shade_body(params, origin, dirs, t, hit, world_to_cam, config: RenderConfig, matcap, frame):
-    f = shade_fn(params, config, frame)
-    points = origin + dirs * t[:, None]
-    colors = shading.shade(
-        f,
-        points,
-        dirs,
-        mode=config.shading,
-        normal_mode=config.normal_mode,
-        normal_eps=config.normal_eps,
-        world_to_cam=world_to_cam,
-        matcap=matcap,
-    )
-    rgba = jnp.where(hit[:, None], colors, 0.0)
-    return rgba.reshape(config.height, config.width, 4)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
