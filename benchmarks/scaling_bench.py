@@ -69,7 +69,94 @@ def time_render(params, cam, cfg, mesh, reps: int) -> float:
     return float(np.median(ts))
 
 
+def run_multihost(args) -> int:
+    """Spawn N local processes with a localhost coordinator and time the
+    cross-process global-SPMD render (parallel/multihost.py). Overhead
+    scaling only on CPU (host cores timeshare), but it exercises the REAL
+    multi-host code path: jax.distributed handshake, cross-process mesh,
+    Gloo-coordinated collectives, per-host tile extraction."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _os.path.abspath(__file__),
+             "--_worker", f"localhost:{port}", str(args.multihost), str(pid),
+             "--res", args.res, "--steps", str(args.steps),
+             "--reps", str(args.reps), "--model", args.model],
+            cwd=repo, env=env,
+        )
+        for pid in range(args.multihost)
+    ]
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
+
+
+def run_multihost_worker(coordinator: str, nprocs: int, pid: int) -> int:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from cudaneuralrender_tpu.parallel import multihost
+
+    multihost.initialize(coordinator, nprocs, pid)
+
+    import numpy as np
+
+    import cudaneuralrender_tpu as cnr
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--_worker", nargs=3)
+    ap.add_argument("--res", default="512x512")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--model")
+    args = ap.parse_args()
+    w, h = (int(v) for v in args.res.split("x"))
+
+    params = cnr.load(args.model)
+    n_dev = jax.device_count()
+    cfg = cnr.RenderConfig(width=w, height=(h // n_dev) * n_dev,
+                           scene="neural_raw", max_steps=args.steps)
+    cam = cnr.Camera(rotation_y=30.0, rotation_x=10.0)
+    mesh = multihost.global_mesh()
+
+    def run():
+        img = multihost.render_global(params, cam, cfg, mesh)
+        # per-host drain: each process syncs only its own tiles (no gather)
+        return multihost.local_tiles(img)
+
+    run(); run()  # compile + warm
+    ts = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    if pid == 0:
+        rays_s = cfg.num_rays / dt
+        print(
+            f"multihost processes={nprocs} devices={n_dev}: "
+            f"{dt*1e3:9.1f} ms/frame  {rays_s/1e6:8.2f} Mrays/s "
+            f"(virtual-CPU overhead scaling; same code path as real hosts)",
+            flush=True,
+        )
+    return 0
+
+
 def main() -> int:
+    if "--_worker" in sys.argv:
+        i = sys.argv.index("--_worker")
+        coord, nprocs, pid = sys.argv[i + 1:i + 4]
+        return run_multihost_worker(coord, int(nprocs), int(pid))
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="512x512")
     ap.add_argument("--steps", type=int, default=200)
@@ -77,7 +164,14 @@ def main() -> int:
     ap.add_argument("--model", default="/root/reference/neuralGeometries/plane_1.h5")
     ap.add_argument("--cpu", type=int, default=None,
                     help="force CPU platform with N virtual devices")
+    ap.add_argument("--multihost", type=int, default=None,
+                    help="spawn N local processes (4 virtual CPU devices "
+                         "each, localhost coordinator) and measure the "
+                         "cross-process global-SPMD render")
     args = ap.parse_args()
+
+    if args.multihost:
+        return run_multihost(args)
 
     w, h = (int(v) for v in args.res.split("x"))
     params = cnr.load(args.model)

@@ -12,10 +12,11 @@ neighbors because sphere tracing has no cross-ray coupling.
 Fault injection (`FaultInjector`) exercises the retry path deterministically
 in tests and drills — the `--fault-inject` CLI debug flag plumbs into it.
 
-Multi-host note: under `jax.distributed` each host renders its own row
-bands (process_index striding) and writes its own tiles; a failed host's
-bands are re-rendered by the survivors from the same camera — the
-band-retry loop below is exactly that logic on one host.
+Multi-host: parallel/multihost.py implements exactly this design across
+processes — each host renders the row bands it owns (process_index
+striding, ``render_bands``) and writes its own tiles; a failed host's bands
+are adopted by the survivors (``band_owners``) and re-rendered from the
+same camera. The band-retry loop below is that logic within one host.
 """
 from __future__ import annotations
 
