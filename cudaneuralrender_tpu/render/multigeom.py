@@ -99,7 +99,11 @@ def render_batch_staged(
         active, steps, hits, ovf = (int(v) for v in st)
         fast = (
             ovf == 0
-            and (active == 0 or steps >= config.max_steps)
+            and (
+                active == 0
+                or (steps >= config.max_steps
+                    and config.march_precision == "mixed")
+            )
             and (shade_cap >= n_rays or hits <= shade_cap)
         )
         if fast:

@@ -972,6 +972,27 @@ def render_staged(
             stats_out.update(fast_path=False)
         return result
 
+    if (
+        config.march_precision != "mixed"
+        and active_count > 0
+        and steps_done >= config.max_steps
+    ):
+        # Step-starved truncation: the schedule's step counter is SHARED
+        # across rungs, so a ray that overflowed an under-provisioned bucket
+        # received fewer than max_steps individual evaluations even though
+        # steps_done hit the cap. In mixed mode that is silhouette-level
+        # tolerance; in "full" mode the contract is exact reference
+        # semantics (every ray marches up to max_steps — the dense loop of
+        # volumeRender_kernel.cu:652), so re-render densely. Rare: only a
+        # max_steps budget small enough to truncate the march triggers it
+        # (at the reference's 6000 every ray resolves first).
+        rgba = render_image(params, camera, config, matcap, frame)
+        if config.rgba_packed:
+            rgba = shading.unpack_rgba_u32(shading.pack_rgba_u32(rgba))
+        if stats_out is not None:
+            stats_out.update(fast_path=False, dense_fallback=True)
+        return rgba
+
     n_rays = config.num_rays
     shade_cap = _shade_capacity(config, n_rays, _conv_within(config))
     schedule_ok = active_count == 0 or steps_done >= config.max_steps
@@ -1017,6 +1038,17 @@ def render_staged(
             valid,
         )
         full = march.MarchState(t, budget, active, converged, steps=sub.steps)
+
+    if config.march_precision != "mixed" and int(jnp.sum(full.active)) > 0:
+        # Same step-starvation corner as above, reached via the
+        # continuation: full mode re-renders densely for exact truncation
+        # semantics.
+        rgba = render_image(params, camera, config, matcap, frame)
+        if config.rgba_packed:
+            rgba = shading.unpack_rgba_u32(shading.pack_rgba_u32(rgba))
+        if stats_out is not None:
+            stats_out.update(fast_path=False, dense_fallback=True)
+        return rgba
 
     if stats_out is not None:
         stats_out.update(
@@ -1071,7 +1103,11 @@ def render_sequence(
         active_count, steps_done, hit_count, refine_overflow = (int(v) for v in st)
         fast = (
             refine_overflow == 0
-            and (active_count == 0 or steps_done >= config.max_steps)
+            and (
+                active_count == 0
+                or (steps_done >= config.max_steps
+                    and config.march_precision == "mixed")
+            )
             and (shade_cap >= n_rays or hit_count <= shade_cap)
         )
         if stats_out is not None:
