@@ -1,0 +1,154 @@
+"""Fast surface solve for the differentiable path.
+
+Round-1's differentiable renderer marched the DENSE whole image
+(ops/march.py::sphere_trace) to find each ray's surface parameter t* —
+the 2415 ms/frame-class march the inference path spent the round escaping
+via staged compaction. But the march is already gradient-severed (all
+parameter sensitivity re-enters through diff/implicit.py's implicit-function
+reattachment), so the t*-solve can use ANY solver, including the staged
+scheduler and its Pallas megakernels, without touching gradient semantics.
+
+This module provides that solver as a standalone phase:
+
+    t_star, hit = solve_surface(params, camera, config)   # fast, no grads
+    loss, grads = value_and_grad(pixel_loss)(params, ..., t_star=t_star, hit=hit)
+
+``solve_surface`` is host-orchestrated exactly like render/renderer.py's
+``render_staged`` (overflow retry with a widened refine schedule, dense
+fallback for step-starved "full"-precision truncation) and therefore must be
+called OUTSIDE any jit/grad trace. The differentiable phase
+(implicit.render_image_diff / losses.pixel_loss with t_star passed in) is a
+single clean jittable program: one SDF eval + one SDF gradient per hit pixel.
+
+Equivalent reference structure: none — the reference is inference-only
+(SURVEY.md §0); this makes its render loop (volumeRender_kernel.cu:652-689)
+trainable at staged-path speed (BASELINE config 4 / round-1 VERDICT item 3).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import camera as camera_lib
+from ..ops import march
+from ..ops.camera import Camera
+from ..render import renderer as renderer_lib
+from ..utils.config import RenderConfig
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_scheduled(params, camera: Camera, config: RenderConfig, frame):
+    """Staged-compaction t*-solve as ONE compiled program.
+
+    Runs the inference path's full scheduled march (coarse megakernel +
+    precision ladder, renderer._scheduled_march), restores image order, and
+    returns (t [N], hit [N], stats [4]) — no shading, no color restore sort.
+    """
+    cam_to_world, _ = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    pr, steps, _within, refine_overflow = renderer_lib._scheduled_march.__wrapped__(
+        params, cam_to_world, origin, dirs, config, frame
+    )
+    state = renderer_lib._restore_state.__wrapped__(
+        pr, steps, origin, dirs, config
+    )
+    stats = jnp.stack(
+        [
+            jnp.sum(state.active.astype(jnp.int32)),
+            steps,
+            jnp.sum(state.converged.astype(jnp.int32)),
+            refine_overflow,
+        ]
+    )
+    return state.t, state.converged, stats
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_dense(params, camera: Camera, config: RenderConfig, frame):
+    """Dense whole-image solve (exact reference-ordered march) — the
+    correctness fallback and the round-1 behavior."""
+    cam_to_world, _ = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    f = renderer_lib.scene_fn(params, config, frame)
+    result = march.sphere_trace(
+        f,
+        origin,
+        dirs,
+        max_steps=config.max_steps,
+        march_eps=config.march_eps,
+        bound_center=config.bound_center,
+        bound_radius=config.bound_radius,
+    )
+    return result.t, result.hit
+
+
+def solve_surface(
+    params,
+    camera: Camera,
+    config: RenderConfig,
+    frame: float = 0.0,
+    *,
+    stats_out: Optional[dict] = None,
+):
+    """Solve every ray's surface parameter through the staged scheduler.
+
+    Returns concrete ``(t_star [N], hit [N])`` device arrays in image order.
+    Host-orchestrated (mirrors render_staged's control flow): refine-bucket
+    overflow retries with a widened schedule; a step-starved "full"-precision
+    truncation falls back to the dense exact march. Call OUTSIDE jit/grad.
+    """
+    frame = jnp.asarray(frame, jnp.float32)
+    t, hit, stats = _solve_scheduled(params, camera, config, frame)
+    active_count, steps_done, hit_count, refine_overflow = (
+        int(v) for v in np.asarray(stats)
+    )
+    if stats_out is not None:
+        stats_out.update(
+            rays=config.num_rays,
+            steps=steps_done,
+            hits=hit_count,
+            unresolved=active_count,
+            refine_overflow=refine_overflow,
+            fast_path=True,
+        )
+
+    if refine_overflow > 0:
+        # Same retry rule as render_staged: double every refine bucket.
+        wider = tuple(
+            (max(d // 2, 1), s) for d, s in config.refine_schedule
+        )
+        if stats_out is not None:
+            stats_out.update(fast_path=False)
+        return solve_surface(
+            params, camera, config.replace(refine_schedule=wider), frame,
+            stats_out=stats_out,
+        )
+
+    if active_count > 0 and steps_done < config.max_steps:
+        # Schedule left budgeted rays unresolved (tiny image / exotic
+        # schedule) — finish on the exact dense path rather than porting the
+        # staged continuation loop here.
+        if stats_out is not None:
+            stats_out.update(fast_path=False, dense_fallback=True)
+        return _solve_dense(params, camera, config, frame)
+
+    if (
+        config.march_precision != "mixed"
+        and active_count > 0
+        and steps_done >= config.max_steps
+    ):
+        # "full" promises exact truncation semantics (every ray marches up
+        # to max_steps) — same corner render_staged re-renders densely.
+        if stats_out is not None:
+            stats_out.update(fast_path=False, dense_fallback=True)
+        return _solve_dense(params, camera, config, frame)
+
+    return t, hit
