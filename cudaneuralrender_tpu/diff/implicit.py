@@ -62,21 +62,13 @@ def implicit_surface_t(f, origin: jax.Array, dirs: jax.Array, t_star: jax.Array)
     return t0 - f(x0) / denom
 
 
-def render_depth_diff(
-    params: MLPParams,
-    camera: Camera,
-    config: RenderConfig,
-    frame: jax.Array | float = 0.0,
-):
-    """Differentiable depth map: returns (t [H*W], hit [H*W] bool, no grad on
-    hit). The smooth scalar field used for gradient-parity testing — pixel
-    color adds shading nonlinearities, depth isolates the implicit-surface
-    gradient itself."""
-    cam_to_world, _ = camera_lib.view_matrices(camera)
-    origin, dirs = camera_lib.generate_rays(
-        cam_to_world, config.height, config.width, config.focal
-    )
-    f = scene_fn(params, config, frame)
+def _solve_t_dense(params, config: RenderConfig, frame, origin, dirs):
+    """Gradient-severed in-trace surface solve: the dense whole-image march.
+
+    The trajectory is a constant w.r.t. params; all parameter sensitivity
+    re-enters through the implicit step. Used when the caller did not
+    precompute (t_star, hit) with diff/solve.py::solve_surface.
+    """
     params_sg = jax.lax.stop_gradient(params)
     f_sg = scene_fn(params_sg, config, jax.lax.stop_gradient(jnp.asarray(frame)))
     result = march.sphere_trace(
@@ -88,8 +80,38 @@ def render_depth_diff(
         bound_center=config.bound_center,
         bound_radius=config.bound_radius,
     )
-    t = implicit_surface_t(f, origin, dirs, result.t)
-    return t, jax.lax.stop_gradient(result.hit)
+    return result.t, result.hit
+
+
+def render_depth_diff(
+    params: MLPParams,
+    camera: Camera,
+    config: RenderConfig,
+    frame: jax.Array | float = 0.0,
+    *,
+    t_star: Optional[jax.Array] = None,
+    hit: Optional[jax.Array] = None,
+):
+    """Differentiable depth map: returns (t [H*W], hit [H*W] bool, no grad on
+    hit). The smooth scalar field used for gradient-parity testing — pixel
+    color adds shading nonlinearities, depth isolates the implicit-surface
+    gradient itself.
+
+    ``t_star``/``hit`` (both or neither): a precomputed gradient-severed
+    surface solve, e.g. from diff/solve.py::solve_surface (the staged fast
+    path). When omitted the dense march runs inside the trace.
+    """
+    if (t_star is None) != (hit is None):
+        raise ValueError("pass both t_star and hit, or neither")
+    cam_to_world, _ = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    f = scene_fn(params, config, frame)
+    if t_star is None:
+        t_star, hit = _solve_t_dense(params, config, frame, origin, dirs)
+    t = implicit_surface_t(f, origin, dirs, t_star)
+    return t, jax.lax.stop_gradient(hit)
 
 
 def render_image_diff(
@@ -98,35 +120,35 @@ def render_image_diff(
     config: RenderConfig,
     matcap: Optional[jax.Array] = None,
     frame: jax.Array | float = 0.0,
+    *,
+    t_star: Optional[jax.Array] = None,
+    hit: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Differentiable render: gradients flow from pixels to params (and
     camera) through the implicit surface point and the shading normal.
 
     Non-hit pixels are background with zero gradient (silhouette gradients
     need a soft mask loss — see losses.py::silhouette_loss).
+
+    ``t_star``/``hit`` (both or neither): a precomputed gradient-severed
+    surface solve from diff/solve.py::solve_surface. With them this function
+    is ONE SDF eval + one SDF gradient per pixel (plus shading) — the fast
+    differentiable path; the march never appears in the trace. Without them
+    the dense whole-image march runs gradient-severed inside.
     """
+    if (t_star is None) != (hit is None):
+        raise ValueError("pass both t_star and hit, or neither")
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
     )
     f = scene_fn(params, config, frame)
 
-    # March with gradients severed: the trajectory is a constant w.r.t.
-    # params; all parameter sensitivity re-enters through the implicit step.
-    params_sg = jax.lax.stop_gradient(params)
-    f_sg = scene_fn(params_sg, config, jax.lax.stop_gradient(jnp.asarray(frame)))
-    result = march.sphere_trace(
-        f_sg,
-        jax.lax.stop_gradient(origin),
-        jax.lax.stop_gradient(dirs),
-        max_steps=config.max_steps,
-        march_eps=config.march_eps,
-        bound_center=config.bound_center,
-        bound_radius=config.bound_radius,
-    )
-    hit = jax.lax.stop_gradient(result.hit)
+    if t_star is None:
+        t_star, hit = _solve_t_dense(params, config, frame, origin, dirs)
+    hit = jax.lax.stop_gradient(hit)
 
-    t = implicit_surface_t(f, origin, dirs, result.t)
+    t = implicit_surface_t(f, origin, dirs, t_star)
     points = origin + dirs * t[:, None]
     colors = shading.shade(
         f,

@@ -23,10 +23,19 @@ def pixel_loss(
     target: jax.Array,
     matcap: Optional[jax.Array] = None,
     frame: jax.Array | float = 0.0,
+    *,
+    t_star: Optional[jax.Array] = None,
+    hit: Optional[jax.Array] = None,
 ) -> jax.Array:
     """L2 pixel loss of a differentiable render vs a target [H, W, 4] image
-    (BASELINE config 4: pixel-loss backprop to MLP weights)."""
-    img = render_image_diff(params, camera, config, matcap, frame)
+    (BASELINE config 4: pixel-loss backprop to MLP weights).
+
+    ``t_star``/``hit``: precomputed gradient-severed surface solve
+    (diff/solve.py::solve_surface) — the fast path: the march leaves the
+    loss/grad program entirely."""
+    img = render_image_diff(
+        params, camera, config, matcap, frame, t_star=t_star, hit=hit
+    )
     return jnp.mean((img - target) ** 2)
 
 

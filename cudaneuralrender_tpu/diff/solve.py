@@ -121,16 +121,31 @@ def solve_surface(
         )
 
     if refine_overflow > 0:
-        # Same retry rule as render_staged: double every refine bucket.
-        wider = tuple(
-            (max(d // 2, 1), s) for d, s in config.refine_schedule
+        # Same retry rule as render_staged: double every refine bucket (and
+        # mid-ladder bucket — overflow can originate from a HIGH rung). If
+        # widening no longer changes the config (all divs already 1) the
+        # overflow cannot clear; finish on the exact dense path instead of
+        # recursing forever.
+        widened = config.replace(
+            refine_schedule=tuple(
+                (max(d // 2, 1), s) for d, s in config.refine_schedule
+            ),
+            mid_schedule=tuple(
+                (max(d // 2, 1), s) for d, s in config.mid_schedule
+            ),
+        )
+        if widened == config:
+            if stats_out is not None:
+                stats_out.update(fast_path=False, dense_fallback=True)
+            return _solve_dense(params, camera, config, frame)
+        result = solve_surface(
+            params, camera, widened, frame, stats_out=stats_out
         )
         if stats_out is not None:
+            # After the recursion: its own update wrote fast_path=True on
+            # success — this solve as a whole was not the fast path.
             stats_out.update(fast_path=False)
-        return solve_surface(
-            params, camera, config.replace(refine_schedule=wider), frame,
-            stats_out=stats_out,
-        )
+        return result
 
     if active_count > 0 and steps_done < config.max_steps:
         # Schedule left budgeted rays unresolved (tiny image / exotic

@@ -18,6 +18,7 @@ from ..models.mlp import MLPParams
 from ..ops.camera import Camera
 from ..utils.config import RenderConfig
 from . import losses
+from .solve import solve_surface
 
 
 class TrainState(NamedTuple):
@@ -52,6 +53,60 @@ def pixel_train_step(
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
+
+
+@functools.partial(jax.jit, static_argnames=("config", "lr"))
+def _pixel_grad_step_from_t(
+    state: TrainState,
+    camera: Camera,
+    target: jax.Array,
+    t_star: jax.Array,
+    hit: jax.Array,
+    config: RenderConfig,
+    lr: float,
+) -> Tuple[TrainState, jax.Array]:
+    """The jittable half of the fast pixel step: loss + grads + adam update
+    from a PRECOMPUTED surface solve — one SDF eval and one SDF gradient per
+    pixel; no march anywhere in the program."""
+    loss, grads = jax.value_and_grad(losses.pixel_loss)(
+        state.params, camera, config, target, t_star=t_star, hit=hit
+    )
+    opt = make_optimizer(lr)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def pixel_train_step_fast(
+    state: TrainState,
+    camera: Camera,
+    target: jax.Array,
+    config: RenderConfig,
+    lr: float = 1e-3,
+    *,
+    stats_out: Optional[dict] = None,
+) -> Tuple[TrainState, jax.Array]:
+    """One inverse-rendering step at staged-march speed.
+
+    ``pixel_train_step`` re-marches the DENSE whole image inside every grad
+    evaluation (the round-1 behavior — the 2415 ms/frame-class march the
+    inference path escaped via staged compaction). The march is gradient-
+    severed, so the t*-solve here runs through the staged scheduler and its
+    Pallas megakernels (diff/solve.py::solve_surface, host-orchestrated),
+    then the jitted grad+update program touches each ray exactly twice (one
+    SDF eval, one SDF gradient). This makes the trainable analogue of the
+    reference's render loop (src/volumeRender_kernel.cu:652-689) run at the
+    inference fast path's speed — BASELINE config 4 / round-2 VERDICT item 1.
+
+    Host-orchestrated (solve_surface syncs on its overflow stats) — call
+    OUTSIDE jit.
+    """
+    t_star, hit = solve_surface(
+        state.params, camera, config, stats_out=stats_out
+    )
+    return _pixel_grad_step_from_t(
+        state, camera, target, t_star, hit, config, lr
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("lr", "eikonal_weight"))

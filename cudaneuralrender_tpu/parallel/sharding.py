@@ -108,6 +108,8 @@ def pixel_train_step_sharded(
     mesh: Mesh,
     lr: float = 1e-3,
     data_axis: str = "data",
+    t_star: Optional[jax.Array] = None,
+    hit: Optional[jax.Array] = None,
 ):
     """One tile-sharded inverse-rendering step (BASELINE config 5).
 
@@ -119,6 +121,12 @@ def pixel_train_step_sharded(
     their backward cotangents psum across the data axis — XLA schedules that
     collective over ICI overlapped with the backward computation.
 
+    ``t_star``/``hit`` (both or neither, [H*W] image-order): a precomputed
+    gradient-severed surface solve (diff/solve.py::solve_surface — the
+    staged fast path, host-orchestrated before this jitted step). They tile-
+    shard over the data axis with the rays; the per-tile march disappears
+    from the grad program entirely.
+
     Returns (new_state, loss). Sharded gradients are exactly equal to the
     single-device pixel_train_step gradients (tests/test_parallel.py).
     """
@@ -127,6 +135,8 @@ def pixel_train_step_sharded(
     from ..diff import train as train_lib
     from ..diff.implicit import implicit_surface_t
 
+    if (t_star is None) != (hit is None):
+        raise ValueError("pass both t_star and hit, or neither")
     n_shards = mesh.shape[data_axis]
     if config.num_rays % n_shards:
         raise ValueError(
@@ -140,28 +150,30 @@ def pixel_train_step_sharded(
     tgt = target.reshape(-1, 4)
     frame = jnp.zeros((), jnp.float32)
 
-    def tile_sse(params, origin, dirs, tgt, world_to_cam, frame):
+    def tile_sse(params, origin, dirs, tgt, world_to_cam, frame, t0, hit0):
         f = scene_fn(params, config, frame)
-        params_sg = jax.lax.stop_gradient(params)
-        f_sg = scene_fn(params_sg, config, jax.lax.stop_gradient(frame))
-        result = march.sphere_trace(
-            f_sg,
-            jax.lax.stop_gradient(origin),
-            jax.lax.stop_gradient(dirs),
-            max_steps=config.max_steps,
-            march_eps=config.march_eps,
-            bound_center=config.bound_center,
-            bound_radius=config.bound_radius,
-        )
-        hit = jax.lax.stop_gradient(result.hit)
-        t = implicit_surface_t(f, origin, dirs, result.t)
+        if t0 is None:
+            params_sg = jax.lax.stop_gradient(params)
+            f_sg = scene_fn(params_sg, config, jax.lax.stop_gradient(frame))
+            result = march.sphere_trace(
+                f_sg,
+                jax.lax.stop_gradient(origin),
+                jax.lax.stop_gradient(dirs),
+                max_steps=config.max_steps,
+                march_eps=config.march_eps,
+                bound_center=config.bound_center,
+                bound_radius=config.bound_radius,
+            )
+            t0, hit0 = result.t, result.hit
+        hit0 = jax.lax.stop_gradient(hit0)
+        t = implicit_surface_t(f, origin, dirs, t0)
         points = origin + dirs * t[:, None]
         colors = shading.shade(
             f, points, dirs,
             mode=config.shading, normal_mode=config.normal_mode,
             normal_eps=config.normal_eps, world_to_cam=world_to_cam,
         )
-        rgba = jnp.where(hit[:, None], colors, 0.0)
+        rgba = jnp.where(hit0[:, None], colors, 0.0)
         sse = jnp.sum((rgba - tgt) ** 2)
         return jax.lax.psum(sse, data_axis)
 
@@ -169,10 +181,14 @@ def pixel_train_step_sharded(
         sse = jax.shard_map(
             tile_sse,
             mesh=mesh,
-            in_specs=(P(), P(), P(data_axis), P(data_axis), P(), P()),
+            in_specs=(
+                P(), P(), P(data_axis), P(data_axis), P(), P(),
+                None if t_star is None else P(data_axis),
+                None if hit is None else P(data_axis),
+            ),
             out_specs=P(),
             check_vma=False,
-        )(params, origin, dirs, tgt, world_to_cam, frame)
+        )(params, origin, dirs, tgt, world_to_cam, frame, t_star, hit)
         return sse / tgt.size
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -349,50 +349,54 @@ def _run_schedule(
     (pr, steps, within).
     """
     n = pr.pos.shape[0]
-    for div, rung_steps in schedule:
+    for rung_i, (div, rung_steps) in enumerate(schedule):
         # Clamp small buckets up to compact_min (sub-VPU-width batches save
         # nothing); a rung whose bucket is the whole image marches densely —
         # terminal (steps=0) rungs must still run to completion so small
         # images resolve inside this one program.
         cap = max(n // div, config.compact_min)
+        scope = f"rung{rung_i}_div{div}_s{rung_steps}"
         if cap >= n:
             if rung_steps == 0:
-                state, dirs_b = _pr_bucket(pr, n, steps, cam_to_world, origin, config)
-                state = march.march_stage(
-                    f, origin, dirs_b, state,
-                    num_steps=config.max_steps,
+                with jax.named_scope(f"{scope}_dense"):
+                    state, dirs_b = _pr_bucket(pr, n, steps, cam_to_world, origin, config)
+                    state = march.march_stage(
+                        f, origin, dirs_b, state,
+                        num_steps=config.max_steps,
+                        max_steps=config.max_steps,
+                        march_eps=eps,
+                        relax_omega=relax,
+                        newton=config.relax_newton,
+                        omega_max=config.relax_omega_max,
+                    )
+                    pr, steps = _pr_merge(pr, state), state.steps
+            continue
+        with jax.named_scope(f"{scope}_sort"):
+            pr = _pr_sort(pr, pr.active, within=within)
+        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, origin, config)
+        use_tail = (
+            tail_kernel is not None and rung_steps == 0
+            and cap <= config.tail_pallas_max
+        )
+        with jax.named_scope(scope):
+            if rung_kernel is not None and precision != jax.lax.Precision.DEFAULT:
+                sub = rung_kernel(
+                    sub, dirs_b, origin, eps, precision,
+                    (None if rung_steps == 0 else rung_steps),
+                    relax_omega=relax,
+                )
+            elif use_tail:
+                sub = tail_kernel(sub, dirs_b, origin, eps, precision)
+            else:
+                sub = march.march_stage(
+                    f, origin, dirs_b, sub,
+                    num_steps=(config.max_steps if rung_steps == 0 else rung_steps),
                     max_steps=config.max_steps,
                     march_eps=eps,
                     relax_omega=relax,
                     newton=config.relax_newton,
                     omega_max=config.relax_omega_max,
                 )
-                pr, steps = _pr_merge(pr, state), state.steps
-            continue
-        pr = _pr_sort(pr, pr.active, within=within)
-        sub, dirs_b = _pr_bucket(pr, cap, steps, cam_to_world, origin, config)
-        use_tail = (
-            tail_kernel is not None and rung_steps == 0
-            and cap <= config.tail_pallas_max
-        )
-        if rung_kernel is not None and precision != jax.lax.Precision.DEFAULT:
-            sub = rung_kernel(
-                sub, dirs_b, origin, eps, precision,
-                (None if rung_steps == 0 else rung_steps),
-                relax_omega=relax,
-            )
-        elif use_tail:
-            sub = tail_kernel(sub, dirs_b, origin, eps, precision)
-        else:
-            sub = march.march_stage(
-                f, origin, dirs_b, sub,
-                num_steps=(config.max_steps if rung_steps == 0 else rung_steps),
-                max_steps=config.max_steps,
-                march_eps=eps,
-                relax_omega=relax,
-                newton=config.relax_newton,
-                omega_max=config.relax_omega_max,
-            )
         pr, steps = _pr_merge(pr, sub), sub.steps
         within = cap
     return pr, steps, within
@@ -521,14 +525,15 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
             state = march.init_state(
                 origin, dirs, config.bound_center, config.bound_radius
             )
-        state, resolve = megakernel.march_pallas_state(
-            params, origin, dirs, state, config, frame,
-            tile=8192, march_eps=eps_a,
-            precision=prec_a,
-            relax_omega=(0.0 if config.relax_newton else relax),
-            interpret=should_interpret(),
-            return_resolve=True,
-        )
+        with jax.named_scope("coarse_kernel"):
+            state, resolve = megakernel.march_pallas_state(
+                params, origin, dirs, state, config, frame,
+                tile=8192, march_eps=eps_a,
+                precision=prec_a,
+                relax_omega=(0.0 if config.relax_newton else relax),
+                interpret=should_interpret(),
+                return_resolve=True,
+            )
         # coarse resolve step = the refine phase's difficulty key: rays
         # that took many coarse steps (grazing incidence) also need the
         # deep refine tail, so ordered packing clusters them into few
@@ -540,21 +545,22 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         difficulty = resolve if config.ordered_packing else None
         steps, within = state.steps, None
     else:
-        state = march.march_stage(
-            coarse, origin, dirs, state,
-            num_steps=config.stage_steps,
-            max_steps=config.max_steps,
-            march_eps=eps_a,
-            relax_omega=relax,
-            newton=config.relax_newton,
-            omega_max=config.relax_omega_max,
-        )
-        pr, steps = _pack_init(state, dirs), state.steps
-        difficulty = None  # XLA coarse path tracks no per-ray step counts
-        pr, steps, within = _run_schedule(
-            coarse, origin, cam_to_world, pr, steps, schedule_a, config, eps_a,
-            precision=prec_a, tail_kernel=tail_kernel, relax=relax, within=None,
-        )
+        with jax.named_scope("coarse_xla"):
+            state = march.march_stage(
+                coarse, origin, dirs, state,
+                num_steps=config.stage_steps,
+                max_steps=config.max_steps,
+                march_eps=eps_a,
+                relax_omega=relax,
+                newton=config.relax_newton,
+                omega_max=config.relax_omega_max,
+            )
+            pr, steps = _pack_init(state, dirs), state.steps
+            difficulty = None  # XLA coarse path tracks no per-ray step counts
+            pr, steps, within = _run_schedule(
+                coarse, origin, cam_to_world, pr, steps, schedule_a, config, eps_a,
+                precision=prec_a, tail_kernel=tail_kernel, relax=relax, within=None,
+            )
 
     refine_overflow = jnp.zeros((), jnp.int32)
     relax_refine = config.relax_omega_refine if mixed else 0.0
@@ -580,12 +586,17 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
                 if prec == jax.lax.Precision.HIGH
                 else config.refine_schedule
             )
-            pr, steps, within, ovf = _refine_phase(
-                f_p, origin, cam_to_world, pr, steps, config, eps,
-                precision=prec, tail_kernel=tk, relax=relax_refine,
-                rung_kernel=_rung_kernel_fn(params, config, frame, relax),
-                schedule=sched, order=difficulty,
+            phase_name = (
+                "refine_high" if prec == jax.lax.Precision.HIGH
+                else "refine_highest"
             )
+            with jax.named_scope(phase_name):
+                pr, steps, within, ovf = _refine_phase(
+                    f_p, origin, cam_to_world, pr, steps, config, eps,
+                    precision=prec, tail_kernel=tk, relax=relax_refine,
+                    rung_kernel=_rung_kernel_fn(params, config, frame, relax),
+                    schedule=sched, order=difficulty,
+                )
             refine_overflow = jnp.maximum(refine_overflow, ovf)
             # later ladder phases see a re-sorted bundle; the image-order
             # difficulty key no longer aligns
@@ -625,9 +636,10 @@ def _refine_phase(
         # invariant). ``order`` (the coarse resolve step, difficulty-ordered
         # packing) keys the sort so stragglers cluster into few megakernel
         # tiles and easy tiles early-exit bounded rungs.
-        pos, t = compaction.sort_pack_leaves(
-            near, (pr.pos, pr.t), order=order
-        )
+        with jax.named_scope("refine_entry_sort"):
+            pos, t = compaction.sort_pack_leaves(
+                near, (pr.pos, pr.t), order=order
+            )
         lane = jnp.arange(n, dtype=jnp.int32)
         pr = PackedRays(
             pos=pos, t=t,
@@ -640,21 +652,22 @@ def _refine_phase(
         # omega>1 overshoots and backtracks every other step (measured +11 ms
         # at 1080p). Newton-adaptive relaxation has no such pathology (g~1
         # head-on -> plain steps), so it stays on.
-        if rung_kernel is not None and precision != jax.lax.Precision.DEFAULT:
-            sub = rung_kernel(
-                sub, dirs_b, origin, eps, precision,
-                (None if steps0 == 0 else steps0),
-            )
-        else:
-            sub = march.march_stage(
-                f, origin, dirs_b, sub,
-                num_steps=(config.max_steps if steps0 == 0 else steps0),
-                max_steps=config.max_steps,
-                march_eps=eps,
-                relax_omega=(relax if config.relax_newton else 0.0),
-                newton=config.relax_newton,
-                omega_max=config.relax_omega_max,
-            )
+        with jax.named_scope(f"rung0_div{div0}_s{steps0}"):
+            if rung_kernel is not None and precision != jax.lax.Precision.DEFAULT:
+                sub = rung_kernel(
+                    sub, dirs_b, origin, eps, precision,
+                    (None if steps0 == 0 else steps0),
+                )
+            else:
+                sub = march.march_stage(
+                    f, origin, dirs_b, sub,
+                    num_steps=(config.max_steps if steps0 == 0 else steps0),
+                    max_steps=config.max_steps,
+                    march_eps=eps,
+                    relax_omega=(relax if config.relax_newton else 0.0),
+                    newton=config.relax_newton,
+                    omega_max=config.relax_omega_max,
+                )
         pr, steps = _pr_merge(pr, sub), sub.steps
         within = cap
         overflow = jnp.maximum(refine_count - cap, 0)
@@ -788,19 +801,20 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
     if within is not None and within < n:
         region = within
         pos_sh = pr.pos
-        sub_dirs = camera_lib.ray_dirs_from_index(
-            cam_to_world, pr.pos[:region], config.height, config.width, config.focal
-        )
-        points = origin + sub_dirs * pr.t[:region, None]
-        region_colors = shading.shade(
-            f, points, sub_dirs,
-            mode=config.shading, normal_mode=config.normal_mode,
-            normal_eps=config.normal_eps, world_to_cam=world_to_cam,
-            matcap=matcap,
-        )
-        region_colors = jnp.where(
-            pr.converged[:region, None], region_colors, 0.0
-        )
+        with jax.named_scope("shade_prefix"):
+            sub_dirs = camera_lib.ray_dirs_from_index(
+                cam_to_world, pr.pos[:region], config.height, config.width, config.focal
+            )
+            points = origin + sub_dirs * pr.t[:region, None]
+            region_colors = shading.shade(
+                f, points, sub_dirs,
+                mode=config.shading, normal_mode=config.normal_mode,
+                normal_eps=config.normal_eps, world_to_cam=world_to_cam,
+                matcap=matcap,
+            )
+            region_colors = jnp.where(
+                pr.converged[:region, None], region_colors, 0.0
+            )
     elif cap >= n:
         region = n
         pos_sh = pr.pos
@@ -836,15 +850,16 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
         region_colors = jnp.where(conv_sh[:cap, None], region_colors, 0.0)
 
     if config.rgba_packed:
-        packed = shading.pack_rgba_u32(region_colors)
-        if region < n:
-            packed = jnp.concatenate(
-                [packed, jnp.zeros((n - region,), jnp.uint32)]
+        with jax.named_scope("restore_sort_u32"):
+            packed = shading.pack_rgba_u32(region_colors)
+            if region < n:
+                packed = jnp.concatenate(
+                    [packed, jnp.zeros((n - region,), jnp.uint32)]
+                )
+            (restored,) = compaction.sort_restore_leaves(pos_sh, (packed,))
+            rgba = shading.unpack_rgba_u32(restored).reshape(
+                config.height, config.width, 4
             )
-        (restored,) = compaction.sort_restore_leaves(pos_sh, (packed,))
-        rgba = shading.unpack_rgba_u32(restored).reshape(
-            config.height, config.width, 4
-        )
     else:
         colors = region_colors
         if region < n:
@@ -963,10 +978,26 @@ def render_staged(
         # roughly one extra mixed render (~2x) instead of the ~7x of a
         # march_precision="full" re-render, at one extra (cached) compile
         # per doubling level actually reached.
-        wider = tuple((max(d // 2, 1), s) for d, s in config.refine_schedule)
+        widened = config.replace(
+            refine_schedule=tuple(
+                (max(d // 2, 1), s) for d, s in config.refine_schedule
+            ),
+            mid_schedule=tuple(
+                (max(d // 2, 1), s) for d, s in config.mid_schedule
+            ),
+        )
+        if widened == config:
+            # All buckets already span the image yet overflow persists
+            # (cannot happen with the default schedules — terminal guard
+            # against exotic configs): finish densely instead of recursing.
+            rgba = render_image(params, camera, config, matcap, frame)
+            if config.rgba_packed:
+                rgba = shading.unpack_rgba_u32(shading.pack_rgba_u32(rgba))
+            if stats_out is not None:
+                stats_out.update(fast_path=False, dense_fallback=True)
+            return rgba
         result = render_staged(
-            params, camera, config.replace(refine_schedule=wider), matcap, frame,
-            stats_out=stats_out,
+            params, camera, widened, matcap, frame, stats_out=stats_out,
         )
         if stats_out is not None:
             stats_out.update(fast_path=False)
@@ -1123,10 +1154,15 @@ def render_sequence(
             # exceeds the first refine bucket — go straight to the widened
             # schedule instead of letting render_staged burn a second
             # base-config render just to rediscover the overflow.
-            wider = tuple((max(d // 2, 1), s) for d, s in config.refine_schedule)
-            out.append(render_staged(
-                params, cam, config.replace(refine_schedule=wider), matcap, fr
-            ))
+            widened = config.replace(
+                refine_schedule=tuple(
+                    (max(d // 2, 1), s) for d, s in config.refine_schedule
+                ),
+                mid_schedule=tuple(
+                    (max(d // 2, 1), s) for d, s in config.mid_schedule
+                ),
+            )
+            out.append(render_staged(params, cam, widened, matcap, fr))
         else:
             out.append(render_staged(params, cam, config, matcap, fr))
     return out

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 
 import cudaneuralrender_tpu as cnr
-from cudaneuralrender_tpu.diff import losses
+from cudaneuralrender_tpu.diff import losses, solve
 
 
 def main() -> int:
@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--fast", action="store_true",
+                    help="solve t* through the staged scheduler "
+                         "(diff/solve.py) instead of the in-trace dense march")
     args = ap.parse_args()
 
     target_params = cnr.load(args.model)
@@ -72,10 +75,32 @@ def main() -> int:
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @jax.jit
+    def step_fast(params, opt_state, cam, target, mask, t_star, hit):
+        # The march never appears in this program: t* comes precomputed from
+        # the staged scheduler (gradient-severed either way).
+        def loss_fn(p):
+            return (
+                losses.pixel_loss(p, cam, cfg, target, t_star=t_star, hit=hit)
+                + 0.1 * losses.silhouette_loss(p, cam, cfg, mask)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
     base = float(losses.pixel_loss(params, cams[0], cfg, targets[0]))
     for i in range(args.steps):
         v = i % args.views
-        params, opt_state, loss = step(params, opt_state, cams[v], targets[v], masks[v])
+        if args.fast:
+            t_star, hit = solve.solve_surface(params, cams[v], cfg)
+            params, opt_state, loss = step_fast(
+                params, opt_state, cams[v], targets[v], masks[v], t_star, hit
+            )
+        else:
+            params, opt_state, loss = step(
+                params, opt_state, cams[v], targets[v], masks[v]
+            )
         if i % 10 == 0:
             print(f"step {i:4d}: loss {float(loss):.6f}", flush=True)
     final = float(losses.pixel_loss(params, cams[0], cfg, targets[0]))

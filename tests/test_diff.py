@@ -168,3 +168,124 @@ def test_eikonal_and_silhouette_losses_finite(tiny_params):
     assert np.isfinite(s)
     g = jax.grad(lambda p: losses.silhouette_loss(p, cnr.Camera(), SMALL_CFG, mask))(tiny_params)
     assert all(np.isfinite(np.asarray(x.w)).all() for x in g)
+
+
+# ---------------------------------------------------------------------------
+# Fast surface solve (diff/solve.py) wired into the differentiable path
+# (round-2 VERDICT item 1: the staged scheduler as the grad step's t*-solver)
+# ---------------------------------------------------------------------------
+
+from cudaneuralrender_tpu.diff import solve  # noqa: E402
+
+FULL_CFG = cnr.RenderConfig(
+    width=64, height=64, scene="neural_raw", max_steps=256,
+    march_precision="full",
+)
+MIXED_CFG = FULL_CFG.replace(march_precision="mixed")
+
+
+def _grad_flat(g):
+    return np.concatenate(
+        [np.asarray(x).ravel() for l in g for x in (l.w, l.b)]
+    )
+
+
+def test_solve_surface_full_matches_dense(tiny_params):
+    """march_precision='full': the staged solve must agree with the dense
+    exact march (reference-ordered stepping) — isolated silhouette budget
+    ties at most."""
+    cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
+    stats = {}
+    t_fast, hit_fast = solve.solve_surface(
+        tiny_params, cam, FULL_CFG, stats_out=stats
+    )
+    t_dense, hit_dense = solve._solve_dense(
+        tiny_params, cam, FULL_CFG, jnp.float32(0.0)
+    )
+    hf, hd = np.asarray(hit_fast), np.asarray(hit_dense)
+    assert (hf != hd).mean() <= 1e-3
+    both = hf & hd
+    assert both.sum() > 100
+    np.testing.assert_allclose(
+        np.asarray(t_fast)[both], np.asarray(t_dense)[both], atol=1e-5
+    )
+    assert stats["rays"] == FULL_CFG.num_rays
+
+
+def test_solve_surface_mixed_close_to_dense(tiny_params):
+    """Mixed-precision staged solve vs the dense march, compared where it
+    matters for the diff path: after the implicit step's Newton refinement
+    (raw converged t's legitimately differ on this sloppy toy SDF — the
+    plain dense march oversteps inside the non-Lipschitz field while the
+    staged relaxed march backtracks; one Newton step collapses both onto
+    the same root)."""
+    cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
+    t_fast, hit_fast = solve.solve_surface(tiny_params, cam, MIXED_CFG)
+    t_dense, hit_dense = solve._solve_dense(
+        tiny_params, cam, MIXED_CFG, jnp.float32(0.0)
+    )
+    hf, hd = np.asarray(hit_fast), np.asarray(hit_dense)
+    assert (hf != hd).mean() <= 0.01
+    both = hf & hd
+    assert both.sum() > 100
+
+    from cudaneuralrender_tpu.ops import camera as camera_lib
+    from cudaneuralrender_tpu.render.renderer import scene_fn
+
+    c2w, _ = camera_lib.view_matrices(cam)
+    origin, dirs = camera_lib.generate_rays(c2w, 64, 64, MIXED_CFG.focal)
+    f = scene_fn(tiny_params, MIXED_CFG, 0.0)
+    tn_fast = np.asarray(implicit.implicit_surface_t(f, origin, dirs, t_fast))
+    tn_dense = np.asarray(implicit.implicit_surface_t(f, origin, dirs, t_dense))
+    dn = np.abs(tn_fast - tn_dense)[both]
+    assert np.percentile(dn, 50) < 1e-5
+    assert np.percentile(dn, 99) < 2e-3
+
+
+def test_grad_fast_solve_matches_dense(tiny_params):
+    """pixel_loss grads from the precomputed full-precision solve equal the
+    in-trace dense-march grads (the solve is gradient-severed either way)."""
+    cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
+    target = jnp.zeros((64, 64, 4))
+    t_star, hit = solve.solve_surface(tiny_params, cam, FULL_CFG)
+
+    g_fast = jax.grad(
+        lambda p: losses.pixel_loss(
+            p, cam, FULL_CFG, target, t_star=t_star, hit=hit
+        )
+    )(tiny_params)
+    g_dense = jax.grad(
+        lambda p: losses.pixel_loss(p, cam, FULL_CFG, target)
+    )(tiny_params)
+
+    a, b = _grad_flat(g_fast), _grad_flat(g_dense)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.9999, f"cosine {cos}"
+    assert np.linalg.norm(a - b) <= 1e-3 * np.linalg.norm(b) + 1e-9
+
+
+def test_render_image_diff_rejects_half_solve(tiny_params):
+    with pytest.raises(ValueError):
+        implicit.render_image_diff(
+            tiny_params, cnr.Camera(), SMALL_CFG,
+            t_star=jnp.zeros(SMALL_CFG.num_rays),
+        )
+
+
+def test_pixel_train_step_fast_reduces_loss(tiny_params):
+    """Inverse rendering through the staged solve: loss decreases, matching
+    the dense-step test's acceptance."""
+    cam = cnr.Camera()
+    target = implicit.render_image_diff(tiny_params, cam, SMALL_CFG)
+    noisy = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.key(7), x.shape),
+        tiny_params,
+    )
+    state = train.init_train_state(noisy, lr=1e-3)
+    losses_seq = []
+    for _ in range(25):
+        state, l = train.pixel_train_step_fast(
+            state, cam, target, SMALL_CFG, lr=1e-3
+        )
+        losses_seq.append(float(l))
+    assert min(losses_seq) < 0.85 * losses_seq[0], losses_seq

@@ -95,3 +95,34 @@ def test_pixel_train_step_sharded_matches_unsharded(eight_devices):
         jax.tree_util.tree_leaves(ref_state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_pixel_train_step_sharded_precomputed_solve(eight_devices):
+    """Sharded grad step fed by the staged surface solve (diff/solve.py):
+    gradients must match the in-trace dense-march sharded step exactly at
+    march_precision='full' (identical t*)."""
+    from cudaneuralrender_tpu.diff import solve, train as train_lib
+    from cudaneuralrender_tpu.parallel.sharding import pixel_train_step_sharded
+
+    m = mesh_lib.make_mesh((8,), ("data",), eight_devices)
+    params = cnr.load("/root/reference/neuralGeometries/plane_1.h5")
+    cfg = cnr.RenderConfig(width=16, height=16, scene="neural_raw",
+                           max_steps=64, march_precision="full")
+    cam = cnr.Camera(rotation_y=20.0)
+    target = jnp.asarray(
+        np.asarray(cnr.render_image(params, cnr.Camera(rotation_y=24.0), cfg))
+    )
+
+    t_star, hit = solve.solve_surface(params, cam, cfg)
+    s0 = train_lib.init_train_state(params, lr=1e-3)
+    fast_state, fast_loss = pixel_train_step_sharded(
+        s0, cam, target, cfg, m, t_star=t_star, hit=hit
+    )
+    ref_state, ref_loss = pixel_train_step_sharded(s0, cam, target, cfg, m)
+
+    np.testing.assert_allclose(float(fast_loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fast_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
