@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--model", default="/root/reference/neuralGeometries/plane_1.h5")
+    ap.add_argument("--no-roofline", action="store_true",
+                    help="skip the speed-of-light accounting")
+    ap.add_argument("--no-suite", action="store_true",
+                    help="skip the extended bench surface (matcap/CSG/"
+                         "multigeom/grad)")
     args = ap.parse_args()
 
     w, h = (int(v) for v in args.res.split("x"))
@@ -68,19 +73,164 @@ def main() -> int:
         sync(cnr.render_sequence(params, cameras, config))
         times.append((time.perf_counter() - t0) / len(cameras))
 
+    frame_ms = float(np.min(times)) * 1e3
     rays_per_s = w * h / float(np.min(times))
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_sphere_trace_rays_per_sec_per_chip",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / ROUND1_BASELINE_RAYS_PER_S, 3),
+    record = {
+        "metric": "1080p_sphere_trace_rays_per_sec_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / ROUND1_BASELINE_RAYS_PER_S, 3),
+        "frame_ms": round(frame_ms, 2),
+    }
+
+    if not args.no_roofline:
+        # Speed-of-light accounting (benchmarks/roofline.py): the oracle
+        # lane-step integral of THIS frame priced at THIS chip's measured
+        # per-precision chain floors. pct_of_roofline is the judged
+        # saturation number (round-2 VERDICT item 2).
+        try:
+            import os
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benchmarks"))
+            import roofline
+
+            rf = roofline.compute(params, cameras[0], config)
+            record["roofline_ms"] = round(rf.roofline_ms, 2)
+            record["pct_of_roofline"] = round(rf.pct(frame_ms), 1)
+            record["chain_floor_ns"] = {
+                "default": round(rf.r_default_ns, 3),
+                "highest": round(rf.r_highest_ns, 3),
             }
-        ),
-        flush=True,
-    )
+            record["useful_lane_steps"] = {
+                "coarse": rf.useful_coarse,
+                "refine": rf.useful_refine,
+                "hits": rf.hits,
+            }
+        except Exception as e:  # never break the headline line
+            record["roofline_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    if not args.no_suite:
+        # Extended tracked surface (round-2 VERDICT item 4): matcap shading,
+        # the three CSG demo scenes, batched multi-geometry, and the fast
+        # differentiable step — all at the headline resolution so
+        # regressions are visible round-over-round. Each scenario is
+        # individually guarded; a failure records its error string.
+        record["suite"] = _suite(params, config, cameras, w, h)
+
+    print(json.dumps(record), flush=True)
     return 0
+
+
+def _time_frames(render_fn, n_frames: int, reps: int = 2) -> float:
+    """Median-of-reps per-frame seconds; render_fn() must block."""
+    render_fn()  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        render_fn()
+        times.append((time.perf_counter() - t0) / n_frames)
+    return float(np.min(times))
+
+
+def _suite(params, config, cameras, w: int, h: int) -> dict:
+    import jax.numpy as jnp
+
+    import cudaneuralrender_tpu as cnr
+
+    out: dict = {}
+    n_rays = w * h
+
+    def sync(xs) -> float:
+        return float(jnp.stack([x.sum() for x in xs]).sum())
+
+    def scenario(name):
+        def deco(fn):
+            try:
+                out[name] = fn()
+            except Exception as e:  # keep the rest of the suite alive
+                out[name] = f"ERROR {type(e).__name__}: {e}"[:120]
+        return deco
+
+    @scenario("matcap_rays_per_s")
+    def _():
+        from cudaneuralrender_tpu.utils import image_io
+
+        matcap = image_io.load_matcap("/root/reference/matcaps/Chrome.png")
+        cfg = config.replace(shading="matcap")
+        dt = _time_frames(
+            lambda: sync(cnr.render_sequence(
+                params, cameras[:4], cfg, jnp.asarray(matcap))),
+            4,
+        )
+        return round(n_rays / dt, 1)
+
+    for scene in ("many_sphere", "many_cylinder_cut", "displacement"):
+        @scenario(f"{scene}_rays_per_s")
+        def _(scene=scene):
+            cfg = config.replace(scene=scene)
+            frames = [float(i * 40) for i in range(4)]
+            dt = _time_frames(
+                lambda: sync(cnr.render_sequence(
+                    params, cameras[:4], cfg, frames=frames)),
+                4,
+            )
+            return round(n_rays / dt, 1)
+
+    @scenario("multigeom5_rays_per_s")
+    def _():
+        import glob
+
+        from cudaneuralrender_tpu.models import mlp as mlp_lib
+        from cudaneuralrender_tpu.render import multigeom
+
+        paths = sorted(glob.glob("/root/reference/neuralGeometries/*.h5"))
+        group = []
+        for p in paths:
+            try:
+                q = cnr.load(p)
+            except Exception:
+                continue
+            if mlp_lib.layer_sizes(q) == mlp_lib.layer_sizes(params):
+                group.append(q)
+        group = group[:5]
+        dt = _time_frames(
+            lambda: sync(multigeom.render_batch_staged(
+                group, cameras[0], config)),
+            len(group),
+        )
+        out["multigeom_count"] = len(group)
+        return round(n_rays / dt, 1)
+
+    @scenario("grad_step_ms")
+    def _():
+        import jax
+
+        from cudaneuralrender_tpu.diff import losses
+        from cudaneuralrender_tpu.diff.solve import solve_surface
+
+        target = jnp.zeros((h, w, 4), jnp.float32)
+
+        @jax.jit
+        def fast_grad(p, t_star, hit):
+            return jax.value_and_grad(
+                lambda q: losses.pixel_loss(
+                    q, cameras[0], config, target, t_star=t_star, hit=hit
+                )
+            )(p)
+
+        def step():
+            t_star, hit = solve_surface(params, cameras[0], config)
+            loss, grads = fast_grad(params, t_star, hit)
+            float(loss)
+            jax.block_until_ready(grads)
+
+        dt = _time_frames(step, 1, reps=3)
+        out["grad_step_mrays_per_s"] = round(n_rays / dt / 1e6, 2)
+        return round(dt * 1e3, 1)
+
+    return out
 
 
 if __name__ == "__main__":

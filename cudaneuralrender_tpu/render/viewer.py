@@ -6,8 +6,14 @@ with mouse-drag rotate/pan/zoom and keyboard shortcuts
 TPU-native equivalent is a zero-dependency HTTP viewer: a small stdlib
 ``http.server`` that renders frames on demand and a canvas page with the same
 controls (left-drag rotate, wheel zoom, shift-drag pan, space = save frame,
-f = advance animation frame — matching main.cpp's bindings where they make
-sense in a browser).
+f = advance animation frame, p = continuous playback, q = camera dump —
+matching main.cpp's bindings where they make sense in a browser).
+
+Parity notes: the rolling FPS readout in the HUD is the reference's
+window-title FPS counter (computeFPS, src/main.cpp:111-128); continuous
+playback is the GLUT idle-loop animation; ``/camera`` is the ``q`` camera
+dump (src/main.cpp:295), printed server-side in the same spirit and returned
+as JSON.
 """
 from __future__ import annotations
 
@@ -31,10 +37,11 @@ _PAGE = """<!DOCTYPE html>
  canvas { display:block; margin:auto; image-rendering:pixelated; }
 </style></head>
 <body>
-<div id="hud">drag=rotate wheel=zoom shift-drag=pan space=save f=frame | <span id="stats"></span></div>
+<div id="hud">drag=rotate wheel=zoom shift-drag=pan space=save f=frame p=play q=camera | <span id="stats"></span></div>
 <canvas id="c"></canvas>
 <script>
 let rx=%RX%, ry=%RY%, zoom=%ZOOM%, tx=0, ty=0, frame=0, busy=false, dirty=true;
+let playing=false, fpsTimes=[];
 const c=document.getElementById('c'), ctx=c.getContext('2d');
 const stats=document.getElementById('stats');
 let drag=null;
@@ -52,18 +59,28 @@ c.addEventListener('wheel', e=>{ zoom=Math.max(0.2, zoom+e.deltaY*0.002); dirty=
 window.addEventListener('keydown', e=>{
   if(e.key===' '){ fetch(`/save?rx=${rx}&ry=${ry}&zoom=${zoom}&tx=${tx}&ty=${ty}&frame=${frame}`); }
   if(e.key==='f'){ frame=(frame+1)%360; dirty=true; }
-  if(e.key==='q'){ console.log('camera', rx, ry, zoom, tx, ty); }
+  if(e.key==='p'){ playing=!playing; dirty=true; }
+  if(e.key==='q'){
+    fetch(`/camera?rx=${rx}&ry=${ry}&zoom=${zoom}&tx=${tx}&ty=${ty}&frame=${frame}`)
+      .then(r=>r.json()).then(j=>console.log('camera', j));
+  }
 });
 async function loop(){
-  if(dirty && !busy){
+  if((dirty || playing) && !busy){
     busy=true; dirty=false;
+    if(playing){ frame=(frame+1)%360; }
     const t0=performance.now();
     const r=await fetch(`/frame?rx=${rx}&ry=${ry}&zoom=${zoom}&tx=${tx}&ty=${ty}&frame=${frame}`);
     const blob=await r.blob();
     const img=await createImageBitmap(blob);
     ctx.drawImageSmoothingEnabled=false;
     ctx.drawImage(img,0,0);
-    stats.textContent=`${(performance.now()-t0).toFixed(0)} ms  rx=${rx.toFixed(1)} ry=${ry.toFixed(1)} z=${zoom.toFixed(2)} f=${frame}`;
+    const now=performance.now();
+    fpsTimes.push(now);
+    while(fpsTimes.length && fpsTimes[0] < now-3000) fpsTimes.shift();
+    const fps=fpsTimes.length>1 ? (fpsTimes.length-1)/((now-fpsTimes[0])/1000) : 0;
+    stats.textContent=`${(now-t0).toFixed(0)} ms  ${fps.toFixed(1)} fps`
+      +`${playing?' [play]':''}  rx=${rx.toFixed(1)} ry=${ry.toFixed(1)} z=${zoom.toFixed(2)} f=${frame}`;
     busy=false;
   }
   requestAnimationFrame(loop);
@@ -128,6 +145,28 @@ def make_server(renderer, camera: Camera = None, *, port: int = 8000,
                 body = buf.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/camera":
+                # the reference's `q` camera dump (src/main.cpp:283-305):
+                # print host-side AND return the values as JSON.
+                cam = {
+                    "rotation_x": float(q.get("rx", [init_rx])[0]),
+                    "rotation_y": float(q.get("ry", [init_ry])[0]),
+                    "zoom": float(q.get("zoom", [init_zoom])[0]),
+                    "translation_x": float(q.get("tx", [0.0])[0]),
+                    "translation_y": float(q.get("ty", [0.0])[0]),
+                    "frame": float(q.get("frame", [0])[0]),
+                }
+                print(
+                    "camera: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in cam.items()),
+                    flush=True,
+                )
+                body = json.dumps(cam).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -184,3 +184,71 @@ def test_megakernel_high_precision_march(plane1_params):
     np.testing.assert_allclose(
         np.asarray(got.t)[both], np.asarray(ref.t)[both], atol=5e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Every in-kernel CSG compose pinned against the dense scene math
+# (round-2 VERDICT item 3: a wrong window constant in pallas/scenes.py must
+# fail CI). Guards the reference scene library, volumeRender_kernel.cu:156-196.
+# ---------------------------------------------------------------------------
+
+from cudaneuralrender_tpu.pallas import scenes as kscenes  # noqa: E402
+from cudaneuralrender_tpu.ops import sdf as sdf_ops  # noqa: E402
+
+
+def _compose_parity_points(plane1_params, scene, frame, key=0, n=4096):
+    """Evaluate the kernel-layout compose and the dense scene fn on the same
+    random points in the bounding volume; return (dense, kernel) [n]."""
+    pts = jax.random.uniform(
+        jax.random.key(key), (n, 3), minval=-1.2, maxval=1.2
+    ).astype(jnp.float32)
+    d_raw = mlp.apply_scalar(plane1_params, pts)
+    compose = kscenes.compose_fn(scene)
+    d_kernel = np.asarray(compose(pts.T, d_raw[None, :], frame)[0])
+
+    neural = lambda p: mlp.apply_scalar(plane1_params, p)
+    dense_fn = sdf_ops.make_scene(scene, neural, frame)
+    d_dense = np.asarray(dense_fn(pts))
+    return d_dense, d_kernel
+
+
+@pytest.mark.parametrize("scene,frame", [
+    ("neural_tanh", 0.0),
+    ("many_sphere", 17.0),
+    ("many_sphere_cut", 17.0),
+    ("displacement", 0.0),
+])
+def test_compose_fn_exact_parity(plane1_params, scene, frame):
+    """Exact-everywhere composes: kernel layout must reproduce the dense
+    scene math bit-for-bit-ish at every sample point."""
+    d_dense, d_kernel = _compose_parity_points(plane1_params, scene, frame)
+    np.testing.assert_allclose(d_kernel, d_dense, atol=1e-6)
+
+
+def test_compose_fn_cylinder_window_band(plane1_params):
+    """many_cylinder_cut's 5x5 window is exact wherever the scene distance
+    is > -0.2 (the only region the march ever evaluates — it stops at the
+    surface); deeper interior may deviate, and we assert the near-surface
+    band is populated so the guarantee is actually exercised."""
+    d_dense, d_kernel = _compose_parity_points(
+        plane1_params, "many_cylinder_cut", 0.0, n=8192
+    )
+    band = d_dense > -0.2
+    assert band.sum() > 1000, "sampling failed to populate the near band"
+    np.testing.assert_allclose(d_kernel[band], d_dense[band], atol=1e-6)
+
+
+@pytest.mark.parametrize("scene,frame", [
+    ("many_sphere_cut", 1.0),
+    ("many_cylinder_cut", 0.0),
+    ("displacement", 0.0),
+])
+def test_megakernel_csg_scenes_render_match_dense(plane1_params, scene, frame):
+    """Full in-kernel march of each CSG scene vs the dense XLA render
+    (mirrors test_megakernel_csg_scene_matches_dense for many_sphere)."""
+    cfg = cnr.RenderConfig(width=16, height=16, scene=scene, max_steps=200)
+    img_k = np.asarray(megakernel.render_image_pallas(
+        plane1_params, cnr.Camera(), cfg, frame=frame, tile=128, interpret=True
+    ))
+    img_d = np.asarray(cnr.render_image(plane1_params, cnr.Camera(), cfg, frame=frame))
+    np.testing.assert_allclose(img_k, img_d, atol=1e-5)

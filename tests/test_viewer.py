@@ -45,3 +45,27 @@ def test_frame_png_and_pan_changes_image(server):
     assert not np.array_equal(a, b), "pan must move the image"
     # lateral pan: same hit count, shifted silhouette (object fully in view)
     assert abs(int((a[..., 3] > 0).sum()) - int((b[..., 3] > 0).sum())) < 60
+
+
+def test_camera_endpoint_dump(server):
+    """The `q` camera dump (reference src/main.cpp:295) as /camera JSON."""
+    import json
+
+    body = _get(server + "/camera?rx=15.5&ry=30.25&zoom=2.5&tx=0.1&ty=-0.2&frame=7")
+    cam = json.loads(body)
+    assert cam["rotation_x"] == pytest.approx(15.5)
+    assert cam["rotation_y"] == pytest.approx(30.25)
+    assert cam["zoom"] == pytest.approx(2.5)
+    assert cam["translation_x"] == pytest.approx(0.1)
+    assert cam["translation_y"] == pytest.approx(-0.2)
+    assert cam["frame"] == pytest.approx(7.0)
+
+
+def test_page_has_playback_and_fps(server):
+    """Continuous playback + rolling FPS (reference computeFPS
+    src/main.cpp:111-128 and the GLUT idle animation)."""
+    page = _get(server + "/").decode()
+    assert "p=play" in page and "q=camera" in page
+    assert "playing=!playing" in page.replace(" ", "")
+    assert "fps" in page
+    assert "/camera?" in page
