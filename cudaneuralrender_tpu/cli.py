@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="evaluate the neural SDF through the fused Pallas kernel",
     )
     p.add_argument("--normal-mode", choices=("autodiff", "tetrahedron"), default="autodiff")
+    p.add_argument("--warm-start", action="store_true",
+                   help="turntable: chain each frame's surface depths into "
+                        "the next frame's march init (temporal warm start — "
+                        "an approximation near silhouettes; see "
+                        "RenderConfig.warm_margin)")
     p.add_argument("--parity-flip", action="store_true",
                    help="reproduce the reference's 180° savePNG orientation")
     p.add_argument("--serve", action="store_true",
@@ -182,6 +187,7 @@ def main(argv=None) -> int:
                 rgbas = cnr.render_sequence(
                     params, cams, cfg, renderer.matcap,
                     frames=[float(i) for i in idxs],
+                    warm_start=args.warm_start,
                 )
                 times.append((time.perf_counter() - t0) / len(idxs))
                 for i, rgba in zip(idxs, rgbas):

@@ -13,6 +13,8 @@ from .train import (
     TrainState,
     fit_sdf,
     init_train_state,
+    load_train_state,
+    save_train_state,
     pixel_train_step,
     pixel_train_step_fast,
     sdf_train_step,
@@ -24,6 +26,8 @@ __all__ = [
     "fit_sdf",
     "implicit_surface_t",
     "init_train_state",
+    "load_train_state",
+    "save_train_state",
     "pixel_loss",
     "pixel_train_step",
     "pixel_train_step_fast",

@@ -151,3 +151,38 @@ def fit_sdf(
         state, loss = sdf_train_step(state, pts, d, lr)
         history.append(float(loss))
     return state.params, history
+
+
+def save_train_state(path: str, state: TrainState) -> None:
+    """Checkpoint a full TrainState (weights + adam moments + step) as one
+    .npz — training resume, the trainable-mode extension of the reference's
+    load-only checkpointing (src/neuralNetwork.cpp:85-151; SURVEY.md §5
+    checkpoint/resume row). Leaves are stored flat in tree order; the
+    treedef is reconstructed at load from a template built with the same
+    optimizer, so the file stays dependency-free numpy."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(state)
+    np.savez(path, **{f"leaf{i}": np.asarray(v) for i, v in enumerate(leaves)})
+
+
+def load_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by ``save_train_state``. ``template`` is
+    any state with identical structure (e.g. ``init_train_state(params, lr)``
+    with the same lr/model shape); its leaf values are replaced."""
+    import numpy as np
+
+    with np.load(path) as f:
+        leaves = [jnp.asarray(f[f"leaf{i}"]) for i in range(len(f.files))]
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, template has "
+            f"{len(t_leaves)} — optimizer or model shape mismatch")
+    for got, want in zip(leaves, t_leaves):
+        if got.shape != jnp.shape(want):
+            raise ValueError(
+                f"leaf shape mismatch: checkpoint {got.shape} vs template "
+                f"{jnp.shape(want)}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)

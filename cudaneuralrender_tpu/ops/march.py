@@ -84,18 +84,35 @@ def init_state(
     dirs: jax.Array,
     bound_center,
     bound_radius: float,
+    t_init: jax.Array | None = None,
+    warm_margin: float = 0.0,
 ) -> MarchState:
     """Per-ray init: bounding-sphere cull + starting point at the sphere's
     near intersection (reference initMarcher, volumeRender_kernel.cu:293-358).
-    Rays that miss the bounding sphere start inactive (background)."""
+    Rays that miss the bounding sphere start inactive (background).
+
+    ``t_init`` (temporal warm start): per-ray suggested start depth from the
+    previous frame of a smooth camera path; non-finite / <= 0 lanes mean "no
+    suggestion" (cold). Warm lanes start at
+    ``clip(t_init - warm_margin, tnear, tfar)`` with the budget reduced to
+    preserve the reference invariant ``budget == tfar - (t - tnear)``
+    (see _restore_state, render/renderer.py). The caller is responsible for
+    the inside-surface reset guard (one SDF probe at the warm point)."""
     tnear, tfar, hit = intersect_sphere(origin, dirs, bound_center, bound_radius)
     tnear = jnp.maximum(tnear, 0.0)  # clamp to near plane (:342)
     # Reference stores tfar (distance from *origin* to far intersection) as
     # the budget and starts the ray at tnear — the budget is deliberately
     # generous by tnear (:344-354); kept for parity.
+    t = jnp.where(hit, tnear, 0.0)
+    budget = jnp.where(hit, tfar, 0.0)
+    if t_init is not None:
+        warm = hit & jnp.isfinite(t_init) & (t_init > 0.0)
+        t_w = jnp.clip(t_init - warm_margin, tnear, tfar)
+        t = jnp.where(warm, t_w, t)
+        budget = jnp.where(warm, tfar - (t_w - tnear), budget)
     return MarchState(
-        t=jnp.where(hit, tnear, 0.0),
-        budget=jnp.where(hit, tfar, 0.0),
+        t=t,
+        budget=budget,
         active=hit,
         converged=jnp.zeros_like(hit),
         steps=jnp.zeros((), jnp.int32),

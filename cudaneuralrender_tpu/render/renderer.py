@@ -424,8 +424,42 @@ def _block_order_np(h: int, w: int, bh: int, bw: int):
     return _np.argsort(key.ravel(), kind="stable").astype(_np.int32)
 
 
+def _warm_block_order(config: RenderConfig) -> bool:
+    """True when the coarse megakernel will run in block-major lane order —
+    the order warm-start state is produced in and consumed from (must match
+    the coarse_block branch predicate in _scheduled_march)."""
+    from ..pallas import scenes as _kscenes
+
+    return (
+        config.march_precision == "mixed"
+        and config.coarse_pallas
+        and _kscenes.kernel_supported(config.scene)
+        and bool(config.coarse_block)
+        and not config.grid_res
+    )
+
+
+def _warm_guard(coarse, origin, dirs, state, config: RenderConfig):
+    """Warm-start inside-surface guard (see RenderConfig.warm_margin): one
+    coarse SDF probe at the warm points; lanes that landed inside the
+    surface (a closer surface swung in front of this pixel since the
+    previous frame) restart cold from the bounding sphere. Costs one dense
+    chain eval — ~1/30th of the coarse phase the warm start skips."""
+    cold = march.init_state(
+        origin, dirs, config.bound_center, config.bound_radius
+    )
+    with jax.named_scope("warm_guard"):
+        d0 = coarse(origin + dirs * state.t[:, None])
+    bad = state.active & (d0 < 0.0)
+    return state._replace(
+        t=jnp.where(bad, cold.t, state.t),
+        budget=jnp.where(bad, cold.budget, state.budget),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
-def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, frame):
+def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, frame,
+                     t_init=None):
     """The full staged-compaction march as ONE compiled program.
 
     Phase A (coarse): dense prefix of config.stage_steps, then the
@@ -464,6 +498,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
 
     use_prepass = (
         mixed
+        and t_init is None
         and config.prepass_factor > 1
         and config.height % config.prepass_factor == 0
         and config.width % config.prepass_factor == 0
@@ -480,9 +515,19 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
                 bound_radius=config.bound_radius,
             )
     else:
-        state = march.init_state(
-            origin, dirs, config.bound_center, config.bound_radius
-        )
+        if t_init is not None and not _warm_block_order(config):
+            # Warm start, image-order lanes (t_init arrives in the same
+            # order _render_scheduled(return_state=True) produced it).
+            state = march.init_state(
+                origin, dirs, config.bound_center, config.bound_radius,
+                t_init=t_init, warm_margin=0.0,  # margins pre-applied by
+                # the producer (render_sequence: fixed or extrapolated)
+            )
+            state = _warm_guard(coarse, origin, dirs, state, config)
+        else:
+            state = march.init_state(
+                origin, dirs, config.bound_center, config.bound_radius
+            )
     if mixed and config.grid_res:
         # Phase 0 (alternative): baked-distance-grid skipping (ops/grid.py).
         # Measured 16x SLOWER than the dense march on TPU (XLA gather-bound)
@@ -522,9 +567,23 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
             dirs = camera_lib.ray_dirs_from_index(
                 cam_to_world, pos0, config.height, config.width, config.focal
             )
-            state = march.init_state(
-                origin, dirs, config.bound_center, config.bound_radius
-            )
+            if t_init is None:
+                state = march.init_state(
+                    origin, dirs, config.bound_center, config.bound_radius
+                )
+            else:
+                # Warm start: t_init already arrives in THIS block-major
+                # lane order (_render_scheduled's return_state path sorts
+                # the outgoing state by the block key when
+                # _warm_block_order(config) — a 2M-element gather by pos0
+                # here measured +40 ms/frame; the producer-side sort is
+                # fused with the restore it was doing anyway).
+                state = march.init_state(
+                    origin, dirs, config.bound_center, config.bound_radius,
+                    t_init=t_init, warm_margin=0.0,  # margins pre-applied by
+                # the producer (render_sequence: fixed or extrapolated)
+                )
+                state = _warm_guard(coarse, origin, dirs, state, config)
         with jax.named_scope("coarse_kernel"):
             state, resolve = megakernel.march_pallas_state(
                 params, origin, dirs, state, config, frame,
@@ -895,8 +954,9 @@ def _restore_state(pr: PackedRays, steps, origin, dirs,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, frame):
+@functools.partial(jax.jit, static_argnames=("config", "return_state"))
+def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, frame,
+                      t_init=None, return_state: bool = False):
     """March + compacted shading as ONE compiled program.
 
     Returns (rgba, packed pr, stats) with stats = [active_count, steps_done,
@@ -905,13 +965,17 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
     (remote-tunnel TPUs pay ~26 ms per sync). The march state comes back in
     packed lane order; the rare continuation path restores it with
     ``_restore_state``.
+
+    ``t_init`` warm-starts the march (RenderConfig.warm_margin);
+    ``return_state=True`` appends the image-order (t, hit) pair — the next
+    frame's warm init — restored through one extra key sort.
     """
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
     )
     pr, steps, within, refine_overflow = _scheduled_march.__wrapped__(
-        params, cam_to_world, origin, dirs, config, frame
+        params, cam_to_world, origin, dirs, config, frame, t_init
     )
     conv_within = _conv_within(config)
     rgba, pr, hit_count = _shade_packed(
@@ -926,6 +990,29 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
             refine_overflow,
         ]
     )
+    if return_state:
+        if _warm_block_order(config):
+            # Produce the warm state directly in the coarse megakernel's
+            # block-major lane order: key the restore sort by (block id,
+            # pixel index) — pure arithmetic on the carried pos, exactly
+            # _block_order_np's stable ordering — so the NEXT frame
+            # consumes t_init with zero reordering (an XLA gather by the
+            # 2M-lane permutation measured +40 ms/frame).
+            bh, bw = config.coarse_block
+            wb = (config.width + bw - 1) // bw
+            block = (pr.pos // (config.width * bh)) * wb + (
+                pr.pos % config.width
+            ) // bw
+            out = jax.lax.sort(
+                (block, pr.pos, pr.t, pr.converged), dimension=0,
+                num_keys=2, is_stable=False,
+            )
+            t_ord, hit_ord = out[2], out[3]
+        else:
+            t_ord, hit_ord = compaction.sort_restore_leaves(
+                pr.pos, (pr.t, pr.converged)
+            )
+        return rgba, pr, stats, (t_ord, hit_ord)
     return rgba, pr, stats
 
 
@@ -1101,6 +1188,7 @@ def render_sequence(
     frames=None,
     *,
     stats_out: Optional[list] = None,
+    warm_start: bool = False,
 ):
     """Pipelined multi-frame rendering — ONE host sync for the whole batch.
 
@@ -1115,15 +1203,49 @@ def render_sequence(
     This is the turntable/serving mode: the reference's doABarrelRoll
     (src/main.cpp:470-478) renders 360 such frames back to back.
 
+    ``warm_start=True`` chains each frame's surface solve into the next
+    frame's march init (RenderConfig.warm_margin): frame N+1's rays start
+    just short of frame N's surface instead of at the bounding sphere.
+    Device-side only — the chain adds no host syncs and stays pipelined
+    (frames serialize on the state dependency, which they did anyway on a
+    single chip). Intended for smooth paths (turntable, interactive orbit);
+    an approximation — see the warm_margin docstring — so benchmarks and
+    parity tests render cold.
+
     Returns a list of [H,W,4] device arrays.
     """
     if frames is None:
         frames = [0.0] * len(cameras)
     queued = []
+    prev_state = prev2_state = None
     for cam, fr in zip(cameras, frames):
-        rgba, _, stats = _render_scheduled(
-            params, cam, config, matcap, jnp.asarray(fr, jnp.float32)
-        )
+        fr = jnp.asarray(fr, jnp.float32)
+        if warm_start:
+            t_init = None
+            if prev_state is not None:
+                t_prev, hit_prev = prev_state
+                # Fixed-margin warm start: frame N's surface minus the
+                # worst-case inter-frame depth motion bound.
+                t_init = jnp.where(
+                    hit_prev, t_prev - config.warm_margin, -jnp.inf
+                )
+                if prev2_state is not None:
+                    # Linear temporal extrapolation: for a constant-rate
+                    # camera path (the turntable's 1 deg/frame) the depth
+                    # along a pixel's ray moves nearly linearly, so
+                    # 2*t_N - t_{N-1} predicts t*_{N+1} with second-order
+                    # residual — the margin shrinks 4x and warm rays enter
+                    # the refine ladder almost on the surface instead of
+                    # re-marching the whole coarse band at HIGHEST.
+                    t_pp, hit_pp = prev2_state
+                    pred = 2.0 * t_prev - t_pp - 0.25 * config.warm_margin
+                    t_init = jnp.where(hit_prev & hit_pp, pred, t_init)
+            rgba, _, stats, new_state = _render_scheduled(
+                params, cam, config, matcap, fr, t_init, return_state=True
+            )
+            prev2_state, prev_state = prev_state, new_state
+        else:
+            rgba, _, stats = _render_scheduled(params, cam, config, matcap, fr)
         queued.append((rgba, stats))
     all_stats = np.asarray(jnp.stack([s for _, s in queued]))  # one sync
 

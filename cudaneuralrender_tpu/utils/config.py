@@ -247,6 +247,21 @@ class RenderConfig:
     # cameras inside the bounding volume.
     prepass_factor: int = 0
 
+    # Temporal warm start (render_sequence(..., warm_start=True)): frame N+1
+    # starts each ray at max(tnear, t_N - warm_margin) where frame N hit,
+    # instead of at the bounding sphere. For smooth camera paths (the
+    # turntable's 1 deg/frame, interactive orbiting) the surface depth along
+    # a pixel's ray moves by <= |p|*dtheta/cos(incidence) ~ 0.02 between
+    # frames, so the warm point is still in free space and the coarse march
+    # re-converges in a handful of steps. Rays whose warm point lands inside
+    # the surface (SDF < 0 at init — a closer surface swung in front) are
+    # detected by the first coarse evaluation and reset to a cold start;
+    # tunneling PAST a newly interposed surface that is > warm_margin in
+    # front of the old one remains possible at grazing incidence, which is
+    # why warm starts are opt-in and benchmarks render cold. Margin 0.08 is
+    # ~4x the 1 deg/frame depth-motion bound.
+    warm_margin: float = 0.08
+
     # Compute dtype for MLP matmuls. Positions/distances always stay float32
     # (march_eps=1e-6 is far below bf16 resolution).
     mlp_dtype: str = "float32"

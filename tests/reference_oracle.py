@@ -291,6 +291,7 @@ def render(
     march_eps: float = float(MARCHING_EPSILON),
     focal: float = 2.0,
     bound_radius: float = 1.2,
+    stride: int = 1,
 ) -> np.ndarray:
     """Full-frame oracle render -> float32 rgba [H, W, 4], row 0 = bottom,
     non-hit pixels = 0 (BACKGROUND_COLOR, volumeRender_kernel.cu:57).
@@ -300,10 +301,21 @@ def render(
       2. tfar -= d; tfar <= 0 -> miss  (the ray does NOT move)
       3. point += ray * d
       4. d < MARCHING_EPSILON -> converged (colored with the moved point)
+
+    ``stride`` marches only every stride-th pixel of the FULL width x height
+    grid (rows/cols 0, stride, 2*stride, ...) and returns the
+    [ceil(H/stride), ceil(W/stride), 4] sub-image — the exact per-pixel
+    counterpart of ``full_frame[::stride, ::stride]``. Used to anchor the
+    oracle against the reference binary's committed 1024^2 golden renders
+    at CI-affordable cost (benchmarks/golden_anchor.py).
     """
     scene_eval = make_scene_eval(scene, params, frame, num_inputs)
     cam_to_world, world_to_cam = view_matrices(rotation_x, rotation_y, translation)
     origin, dirs = generate_rays(cam_to_world, height, width, focal)
+    if stride > 1:
+        dirs = dirs.reshape(height, width, 3)[::stride, ::stride]
+        height, width = dirs.shape[:2]
+        dirs = dirs.reshape(-1, 3)
 
     tnear, tfar, bhit = intersect_sphere(origin, dirs, radius=bound_radius)
     tnear = np.maximum(tnear, F32(0))

@@ -1,0 +1,86 @@
+"""ORACLE vs GOLDEN: per-pixel validation of the NumPy oracle against the
+reference CUDA binary's own committed renders.
+
+Everything else in the suite proves framework == oracle; this file closes
+the loop oracle == reference-binary (round-2 VERDICT missing #5). The
+recovered interactive camera state (5-DOF: rotate/pan/zoom mouse drags,
+src/main.cpp:310-353) and the identified matcap live in
+benchmarks/golden_anchor.json (produced by benchmarks/golden_anchor.py on
+TPU; the oracle side re-verified here on CPU).
+
+The oracle marches every STRIDE-th pixel of the full 1024^2 golden grid —
+reference_oracle.render(stride=...) uses the EXACT same rays as
+golden[::stride, ::stride] (initMarcher's u=(x/W)*2-1 grid,
+volumeRender_kernel.cu:313-322) — so the comparison is per-pixel, not
+statistical. Pose recovery is finite-precision, so thresholds leave margin
+for silhouette-edge pixels; see golden_anchor.json for the measured values.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import cudaneuralrender_tpu as cnr
+from cudaneuralrender_tpu.utils import image_io
+
+import reference_oracle as oracle
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ANCHOR = os.path.join(HERE, "..", "benchmarks", "golden_anchor.json")
+GEOM = "/root/reference/neuralGeometries"
+
+STRIDE = 8          # 128x128 subgrid of the 1024^2 golden -> CI-affordable
+MAX_STEPS = 1200    # bulk of rays converge long before; edges tolerated
+
+
+def _load_anchor():
+    if not os.path.exists(ANCHOR):
+        pytest.skip("benchmarks/golden_anchor.json not yet produced "
+                    "(run benchmarks/golden_anchor.py)")
+    with open(ANCHOR) as fh:
+        return {k: v for k, v in json.load(fh).items() if not k.startswith("_")}
+
+
+@pytest.mark.parametrize("name", ["plane_1", "car_1"])
+def test_oracle_matches_reference_binary_golden(name):
+    anchors = _load_anchor()
+    if name not in anchors:
+        pytest.skip(f"{name} not anchored yet")
+    rec = anchors[name]
+    pose = rec["pose"]
+
+    golden = image_io.load_ppm(f"{GEOM}/{name}.h5.ppm")
+    if rec["flip"]:
+        golden = golden[::-1]
+    g = golden[::STRIDE, ::STRIDE].astype(np.int32)
+    g_fg = np.any(g > 0, axis=-1)
+
+    params = cnr.load(f"{GEOM}/{name}.h5")
+    matcap = image_io.load_matcap(rec["matcap"])
+    out = oracle.render(
+        params, 1024, 1024,
+        rotation_x=pose["rx"], rotation_y=pose["ry"],
+        translation=(pose["tx"], pose["ty"], pose["tz"]),
+        scene="neural_raw", shading="matcap", matcap=matcap,
+        max_steps=MAX_STEPS, stride=STRIDE,
+    )
+    o_rgb = (np.clip(out[..., :3], 0, 1) * 255.0).astype(np.int32)
+    o_fg = out[..., 3] > 0
+
+    # Silhouette: the oracle must reproduce the binary's hit/miss decision
+    # for nearly every sampled pixel (disagreements are pose-precision edge
+    # pixels).
+    sil = float((o_fg == g_fg).mean())
+    assert sil > 0.985, f"{name}: silhouette agreement {sil:.4f}"
+
+    # Color: on commonly-hit pixels the matcap lookup must reproduce the
+    # binary's shading per-pixel (within texel-rounding + normal precision).
+    common = o_fg & g_fg
+    assert common.sum() > 200
+    d = np.abs(o_rgb - g).max(axis=-1)[common]
+    frac16 = float((d <= 16).mean())
+    assert frac16 > 0.90, f"{name}: only {frac16:.3f} of fg within 16 levels"
+    assert float(np.median(d)) <= 6.0, f"{name}: median fg diff {np.median(d)}"

@@ -231,3 +231,72 @@ def test_refine_overflow_widens_buckets(plane1_params):
     assert not stats.get("fast_path", True), "overflow fallback should trigger"
     hit_a, hit_b = img_tiny[..., 3] > 0, img_safe[..., 3] > 0
     assert (hit_a == hit_b).mean() > 0.99
+
+
+def test_render_sequence_warm_start(plane1_params):
+    """Temporal warm start (render_sequence(warm_start=True)): each frame
+    starts rays just short of the previous frame's surface
+    (RenderConfig.warm_margin). On a 1-deg-apart orbit the result must agree
+    with the cold render except silhouette-level noise: near-exact hit mask
+    and identical colors on the vast majority of pixels. Frame 0 has no
+    predecessor, so it must be bit-identical to cold."""
+    cfg = cnr.RenderConfig(width=48, height=48, scene="neural_raw",
+                           max_steps=300, march_impl="staged")
+    cams = [cnr.Camera(rotation_x=10.0, rotation_y=30.0 + float(i))
+            for i in range(3)]
+    cold = cnr.render_sequence(plane1_params, cams, cfg)
+    warm = cnr.render_sequence(plane1_params, cams, cfg, warm_start=True)
+
+    np.testing.assert_array_equal(np.asarray(warm[0]), np.asarray(cold[0]))
+    for c, w in zip(cold[1:], warm[1:]):
+        c, w = np.asarray(c), np.asarray(w)
+        hit_c, hit_w = c[..., 3] > 0, w[..., 3] > 0
+        assert (hit_c == hit_w).mean() > 0.995
+        assert np.all(c == w, axis=-1).mean() > 0.98
+
+
+def test_warm_init_state_guard_semantics():
+    """march.init_state warm lanes: t clipped to [tnear, tfar], budget keeps
+    the reference invariant budget == tfar - (t - tnear); non-finite /
+    non-positive t_init lanes stay cold."""
+    import jax.numpy as jnp
+    from cudaneuralrender_tpu.ops import march
+
+    origin = jnp.asarray([0.0, 0.0, -2.0])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]] * 4)
+    t_init = jnp.asarray([1.5, -jnp.inf, 0.0, 100.0])
+    warm = march.init_state(origin, dirs, (0, 0, 0), 1.2, t_init=t_init,
+                            warm_margin=0.1)
+    cold = march.init_state(origin, dirs, (0, 0, 0), 1.2)
+    tnear, tfar, _ = march.intersect_sphere(origin, dirs, (0, 0, 0), 1.2)
+    tnear = jnp.maximum(tnear, 0.0)
+
+    # lane 0: warm at t_init - margin
+    np.testing.assert_allclose(float(warm.t[0]), 1.4, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(warm.budget[0]), float(tfar[0] - (1.4 - tnear[0])), rtol=1e-6)
+    # lanes 1-2: no suggestion -> cold
+    np.testing.assert_array_equal(np.asarray(warm.t[1:3]), np.asarray(cold.t[1:3]))
+    np.testing.assert_array_equal(
+        np.asarray(warm.budget[1:3]), np.asarray(cold.budget[1:3]))
+    # lane 3: clipped to tfar
+    np.testing.assert_allclose(float(warm.t[3]), float(tfar[3]), rtol=1e-6)
+
+
+def test_render_sequence_warm_start_block_order(plane1_params):
+    """Warm start across a REAL block permutation (coarse_block smaller than
+    the image): the producer emits the state in block-major lane order and
+    the consumer must interpret it in the same order — a mismatch would warm
+    the wrong pixels and wreck the hit mask."""
+    cfg = cnr.RenderConfig(width=48, height=48, scene="neural_raw",
+                           max_steps=300, march_impl="staged",
+                           coarse_block=(16, 16))
+    cams = [cnr.Camera(rotation_x=10.0, rotation_y=30.0 + float(i))
+            for i in range(3)]
+    cold = cnr.render_sequence(plane1_params, cams, cfg)
+    warm = cnr.render_sequence(plane1_params, cams, cfg, warm_start=True)
+    for c, w in zip(cold[1:], warm[1:]):
+        c, w = np.asarray(c), np.asarray(w)
+        hit_c, hit_w = c[..., 3] > 0, w[..., 3] > 0
+        assert (hit_c == hit_w).mean() > 0.995
+        assert np.all(c == w, axis=-1).mean() > 0.98
