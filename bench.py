@@ -32,11 +32,12 @@ ROUND1_BASELINE_RAYS_PER_S = 0.858e6
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="1920x1080")
-    # 8 frames: the pipelined batch amortizes the fixed ~30 ms tunnel
+    # 16 frames: the pipelined batch amortizes the fixed ~30 ms tunnel
     # round-trip of the final drain (a real turntable renders 360 frames
-    # back-to-back); per-frame device time is ~60 ms, so the batch still
-    # finishes in under a second.
-    ap.add_argument("--frames", type=int, default=8)
+    # back-to-back); per-frame device time is ~50 ms, so the batch still
+    # finishes in ~a second. (8 frames left ~4% of RTT in the per-frame
+    # number and round-to-round jitter of the same order.)
+    ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--model", default="/root/reference/neuralGeometries/plane_1.h5")
     ap.add_argument("--no-roofline", action="store_true",

@@ -1,15 +1,23 @@
 """Golden-image parity check vs the reference's committed renders
 (BASELINE configs 1-2).
 
-Renders each geometry at the golden resolution (1024²) with the camera
-recovered by golden_recover.py (benchmarks/golden_cameras.json) and a
-matcap, then reports silhouette IoU and foreground color statistics vs the
-golden PPM, and writes side-by-side comparison images.
+Two modes, chosen by what has been recovered so far:
 
-Exact pixel equality is not attainable — the goldens' cameras were never
-recorded (recovered to ~0.9 IoU at 64², limited by the reference's unlogged
-exact pose/zoom) and their matcap is unknown — so parity is structural:
-silhouette IoU at full resolution plus shading-statistics agreement.
+* **Anchored (default once benchmarks/golden_anchor.json exists):** render
+  with the recovered 5-DOF interactive camera and the matcap texture baked
+  from the golden itself (golden_anchor.py — the shipped matcaps don't
+  contain the goldens' texture), then assert PER-PIXEL agreement of the
+  framework render vs the golden: silhouette IoU, foreground-fraction and
+  mean-RGB windows, and the fraction of commonly-hit pixels within a few
+  RGB levels. This is the framework-side twin of the oracle-vs-golden
+  anchor in tests/test_golden_anchor.py: together they pin
+  framework == oracle == reference-binary on the only artifacts the CUDA
+  binary ever produced.
+
+* **Legacy (no anchor yet):** silhouette IoU > 0.8 with the 3-DOF cameras
+  of golden_cameras.json and a stand-in matcap; color stats printed only.
+
+plane_2.h5.ppm is entirely black upstream (broken golden) — excluded.
 
 Usage: python benchmarks/golden_parity.py [--res 1024]
 """
@@ -31,63 +39,139 @@ from cudaneuralrender_tpu.utils import image_io
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+# Anchored-mode assertion windows (measured plane_1/car_1 values leave
+# >2x margin; see golden_anchor.json for the current numbers).
+MIN_IOU = 0.90
+MAX_FG_FRAC_DIFF = 0.01       # absolute foreground-coverage difference
+MAX_MEAN_RGB_DIFF = 12.0      # per-channel mean over common foreground
+MIN_FRAC_WITHIN_16 = 0.80     # per-pixel max-channel |diff| <= 16 levels
+
+
+def _load_golden(name: str, flip: bool, res: int) -> np.ndarray:
+    golden = image_io.load_ppm(
+        f"/root/reference/neuralGeometries/{name}.h5.ppm")
+    if flip:
+        golden = golden[::-1]
+    if golden.shape[0] != res:
+        golden = golden[:: golden.shape[0] // res, :: golden.shape[0] // res]
+    return golden
+
+
+def check_anchored(name: str, rec: dict, res: int, steps: int, outdir: str) -> bool:
+    import jax.numpy as jnp
+
+    golden = _load_golden(name, rec["flip"], res)
+    params = cnr.load(f"/root/reference/neuralGeometries/{name}.h5")
+    pose = rec["pose"]
+    matcap_path = rec["matcap"]
+    if not os.path.isabs(matcap_path):
+        matcap_path = os.path.join(HERE, matcap_path)
+    matcap = jnp.asarray(image_io.load_matcap(matcap_path))
+    cfg = cnr.RenderConfig(width=res, height=res, scene="neural_raw",
+                           max_steps=steps, shading="matcap",
+                           march_impl="staged")
+    cam = cnr.Camera(rotation_x=pose["rx"], rotation_y=pose["ry"],
+                     translation=(pose["tx"], pose["ty"], pose["tz"]))
+    img = np.asarray(cnr.render_staged(params, cam, cfg, matcap=matcap))
+    # Compare in the device row order (row 0 = bottom) — the same order
+    # load_golden/anchor poses use; to_uint8_image would flip for display.
+    ours = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    g_fg = np.any(golden > 0, axis=-1)
+    o_fg = ours[..., 3] > 0
+    iou = (g_fg & o_fg).sum() / max((g_fg | o_fg).sum(), 1)
+    fg_diff = abs(float(o_fg.mean()) - float(g_fg.mean()))
+    common = g_fg & o_fg
+    d = np.abs(ours[..., :3].astype(int) - golden.astype(int)).max(axis=-1)[common]
+    mean_rgb_diff = float(
+        np.abs(ours[..., :3][common].mean(0) - golden[common].mean(0)).max())
+    frac16 = float((d <= 16).mean())
+
+    color_ok = (mean_rgb_diff < MAX_MEAN_RGB_DIFF
+                and frac16 > MIN_FRAC_WITHIN_16)
+    if rec.get("weights_postdate_golden"):
+        # The shipped weights were retrained after this golden was rendered
+        # (see golden_anchor.json _note): surface detail is decorrelated, so
+        # only silhouette-level agreement is assertable.
+        color_ok = True
+    ok = iou > MIN_IOU and fg_diff < MAX_FG_FRAC_DIFF and color_ok
+    print(f"{name}: IoU={iou:.4f} fg_frac ours={o_fg.mean():.4f} "
+          f"golden={g_fg.mean():.4f} mean_rgb_diff={mean_rgb_diff:.2f} "
+          f"frac<=16={frac16:.4f} median|d|={np.median(d):.1f} "
+          f"-> {'OK' if ok else 'FAIL'}", flush=True)
+
+    side = np.concatenate(
+        [np.dstack([golden, np.full(golden.shape[:2], 255, np.uint8)]), ours],
+        axis=1)[::-1]  # display top-up
+    out = os.path.join(outdir, f"{name}_compare.png")
+    image_io.save_png(out, side)
+    print(f"  wrote {out}", flush=True)
+    return ok
+
+
+def check_legacy(name: str, cam_info: dict, res: int, steps: int,
+                 matcap, shading: str, outdir: str) -> bool:
+    golden = _load_golden(name, cam_info["flip"], res)
+    params = cnr.load(f"/root/reference/neuralGeometries/{name}.h5")
+    cfg = cnr.RenderConfig(width=res, height=res, scene="neural_raw",
+                           max_steps=steps, shading=shading)
+    cam = cnr.Camera.from_cli(rx=cam_info["rx"], ry=cam_info["ry"],
+                              zoom=cam_info["zoom"])
+    img = np.asarray(cnr.render_staged(params, cam, cfg, matcap=matcap))
+    ours = image_io.to_uint8_image(img)
+
+    g_fg = np.any(golden > 10, axis=-1)
+    o_fg = ours[..., 3] > 0
+    iou = (g_fg & o_fg).sum() / max((g_fg | o_fg).sum(), 1)
+    g_mean = golden[g_fg].mean(axis=0)
+    o_mean = ours[..., :3][o_fg].mean(axis=0)
+    print(f"{name}: IoU={iou:.4f}  fg_frac ours={o_fg.mean():.4f} "
+          f"golden={g_fg.mean():.4f}  mean RGB ours={o_mean.round(1)} "
+          f"golden={g_mean.round(1)}", flush=True)
+    side = np.concatenate(
+        [np.dstack([golden, np.full(golden.shape[:2], 255, np.uint8)]), ours],
+        axis=1)
+    out = os.path.join(outdir, f"{name}_compare.png")
+    image_io.save_png(out, side)
+    print(f"  wrote {out}", flush=True)
+    return iou > 0.8
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--matcap", default="/root/reference/matcaps/Car Paint Red.png")
     ap.add_argument("--outdir", default="/tmp/golden_parity")
+    ap.add_argument("--legacy", action="store_true",
+                    help="force the pre-anchor IoU-only check")
     args = ap.parse_args()
-
-    with open(os.path.join(HERE, "golden_cameras.json")) as fh:
-        cameras = {k: v for k, v in json.load(fh).items() if not k.startswith("_")}
-
-    matcap_path = args.matcap
-    if not os.path.exists(matcap_path):
-        # matcap filenames vary in case; fall back to any red-ish one
-        matcap_path = "/root/reference/matcaps/red.png"
-    matcap = image_io.load_matcap(matcap_path) if os.path.exists(matcap_path) else None
-    shading = "matcap" if matcap is not None else "facing"
-
     os.makedirs(args.outdir, exist_ok=True)
+
+    anchor_path = os.path.join(HERE, "golden_anchor.json")
+    anchors = {}
+    if os.path.exists(anchor_path) and not args.legacy:
+        with open(anchor_path) as fh:
+            anchors = {k: v for k, v in json.load(fh).items()
+                       if not k.startswith("_")}
+
     ok = True
-    for name, cam_info in cameras.items():
-        golden = image_io.load_ppm(f"/root/reference/neuralGeometries/{name}.h5.ppm")
-        if cam_info["flip"]:
-            golden = golden[::-1]
-        if golden.shape[0] != args.res:
-            k = golden.shape[0] // args.res
-            golden = golden[::k, ::k]
-
-        params = cnr.load(f"/root/reference/neuralGeometries/{name}.h5")
-        cfg = cnr.RenderConfig(width=args.res, height=args.res, scene="neural_raw",
-                               max_steps=args.steps, shading=shading)
-        cam = cnr.Camera.from_cli(rx=cam_info["rx"], ry=cam_info["ry"],
-                                  zoom=cam_info["zoom"])
-        img = np.asarray(cnr.render_staged(params, cam, cfg, matcap=matcap))
-        ours = image_io.to_uint8_image(img)
-
-        g_fg = np.any(golden > 10, axis=-1)
-        o_fg = ours[..., 3] > 0
-        inter = (g_fg & o_fg).sum()
-        union = (g_fg | o_fg).sum()
-        iou = inter / max(union, 1)
-
-        g_mean = golden[g_fg].mean(axis=0)
-        o_mean = ours[..., :3][o_fg].mean(axis=0)
-        print(f"{name}: IoU={iou:.4f}  fg_frac ours={o_fg.mean():.4f} "
-              f"golden={g_fg.mean():.4f}  mean RGB ours={o_mean.round(1)} "
-              f"golden={g_mean.round(1)}", flush=True)
-        ok &= iou > 0.8
-
-        side = np.concatenate(
-            [np.dstack([golden, np.full(golden.shape[:2], 255, np.uint8)]), ours],
-            axis=1,
-        )
-        out = os.path.join(args.outdir, f"{name}_compare.png")
-        image_io.save_png(out, side)
-        print(f"  wrote {out}", flush=True)
+    if anchors:
+        for name, rec in anchors.items():
+            ok &= check_anchored(name, rec, args.res, args.steps, args.outdir)
+    else:
+        with open(os.path.join(HERE, "golden_cameras.json")) as fh:
+            cameras = {k: v for k, v in json.load(fh).items()
+                       if not k.startswith("_")}
+        matcap_path = args.matcap
+        if not os.path.exists(matcap_path):
+            matcap_path = "/root/reference/matcaps/red.png"
+        matcap = (image_io.load_matcap(matcap_path)
+                  if os.path.exists(matcap_path) else None)
+        shading = "matcap" if matcap is not None else "facing"
+        for name, cam_info in cameras.items():
+            ok &= check_legacy(name, cam_info, args.res, args.steps,
+                               matcap, shading, args.outdir)
 
     print("PARITY OK" if ok else "PARITY BELOW THRESHOLD")
     return 0 if ok else 1

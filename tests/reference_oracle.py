@@ -292,6 +292,7 @@ def render(
     focal: float = 2.0,
     bound_radius: float = 1.2,
     stride: int = 1,
+    stride_offset: int = 0,
 ) -> np.ndarray:
     """Full-frame oracle render -> float32 rgba [H, W, 4], row 0 = bottom,
     non-hit pixels = 0 (BACKGROUND_COLOR, volumeRender_kernel.cu:57).
@@ -313,7 +314,8 @@ def render(
     cam_to_world, world_to_cam = view_matrices(rotation_x, rotation_y, translation)
     origin, dirs = generate_rays(cam_to_world, height, width, focal)
     if stride > 1:
-        dirs = dirs.reshape(height, width, 3)[::stride, ::stride]
+        o = stride_offset
+        dirs = dirs.reshape(height, width, 3)[o::stride, o::stride]
         height, width = dirs.shape[:2]
         dirs = dirs.reshape(-1, 3)
 
