@@ -210,14 +210,24 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
 
         from cudaneuralrender_tpu.diff import losses
         from cudaneuralrender_tpu.diff.solve import solve_surface
+        from cudaneuralrender_tpu.ops import compaction
 
         target = jnp.zeros((h, w, 4), jnp.float32)
+
+        # Hit-bucket capacity for the compacted grad shading (stable across
+        # cameras of the same scene; pixel_train_step_fast does the same).
+        st = {}
+        solve_surface(params, cameras[0], config, stats_out=st)
+        cap = compaction.capacity_pow2_of(
+            st["hits"], n_rays, minimum=config.compact_min)
+        cap = cap if cap < n_rays else None
 
         @jax.jit
         def fast_grad(p, t_star, hit):
             return jax.value_and_grad(
                 lambda q: losses.pixel_loss(
-                    q, cameras[0], config, target, t_star=t_star, hit=hit
+                    q, cameras[0], config, target, t_star=t_star, hit=hit,
+                    compact_cap=cap,
                 )
             )(p)
 

@@ -64,25 +64,37 @@ def main() -> int:
     n_rays = h * w
 
     if args.fast:
-        from cudaneuralrender_tpu.diff.solve import solve_surface
+        from cudaneuralrender_tpu.diff.solve import solve_surface, solve_surface_async
+        from cudaneuralrender_tpu.ops import compaction
+
+        _st = {}
+        _t0, _h0 = solve_surface(params, cam, cfg, stats_out=_st)
+        _cap = compaction.capacity_pow2_of(
+            _st.get("hits") or int(jnp.sum(_h0)), n_rays,
+            minimum=cfg.compact_min)
+        _cap = _cap if _cap < n_rays else None
 
         def grad_value(p):
-            t_star, hit = solve_surface(p, cam, cfg)
-            return _fast_grad(p, t_star, hit)
+            # Pipelined: grad program dispatches behind the solve; the
+            # deferred stats check replaces the mid-step host sync.
+            t_star, hit, check = solve_surface_async(p, cam, cfg)
+            out = _fast_grad(p, t_star, hit)
+            assert check(), "staged solve fell off the fast path"
+            return out
 
         @jax.jit
         def _fast_grad(p, t_star, hit):
             return jax.value_and_grad(
                 lambda q: losses.pixel_loss(
-                    q, cam, cfg, target, t_star=t_star, hit=hit
+                    q, cam, cfg, target, t_star=t_star, hit=hit,
+                    compact_cap=_cap,
                 )
             )(p)
 
         loss_fn = lambda p: losses.pixel_loss(  # FD oracle: same objective
-            p, cam, cfg, target, t_star=_t0, hit=_h0
+            p, cam, cfg, target, t_star=_t0, hit=_h0, compact_cap=_cap
         )
-        _t0, _h0 = solve_surface(params, cam, cfg)
-        label = "fast (staged solve + implicit grad)"
+        label = "fast (staged solve + compacted implicit grad)"
     else:
         loss_fn = lambda p: losses.pixel_loss(p, cam, cfg, target)
         grad_value = jax.jit(jax.value_and_grad(loss_fn))

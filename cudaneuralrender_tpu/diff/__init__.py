@@ -8,7 +8,7 @@ fast-path speed (``solve``).
 """
 from .implicit import implicit_surface_t, render_depth_diff, render_image_diff
 from .losses import eikonal_loss, pixel_loss, sdf_distillation_loss, silhouette_loss
-from .solve import solve_surface
+from .solve import solve_surface, solve_surface_async
 from .train import (
     TrainState,
     fit_sdf,
@@ -37,4 +37,5 @@ __all__ = [
     "sdf_train_step",
     "silhouette_loss",
     "solve_surface",
+    "solve_surface_async",
 ]

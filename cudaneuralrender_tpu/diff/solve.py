@@ -55,18 +55,21 @@ def _solve_scheduled(params, camera: Camera, config: RenderConfig, frame):
     pr, steps, _within, refine_overflow = renderer_lib._scheduled_march.__wrapped__(
         params, cam_to_world, origin, dirs, config, frame
     )
-    state = renderer_lib._restore_state.__wrapped__(
-        pr, steps, origin, dirs, config
-    )
+    # Counts come from the packed bundle; the restore sort then carries only
+    # the two payloads the grad program consumes (t, converged) instead of
+    # the full MarchState (the restore is payload-bandwidth-bound).
     stats = jnp.stack(
         [
-            jnp.sum(state.active.astype(jnp.int32)),
+            jnp.sum(pr.active.astype(jnp.int32)),
             steps,
-            jnp.sum(state.converged.astype(jnp.int32)),
+            jnp.sum(pr.converged.astype(jnp.int32)),
             refine_overflow,
         ]
     )
-    return state.t, state.converged, stats
+    from ..ops import compaction
+
+    t, hit = compaction.sort_restore_leaves(pr.pos, (pr.t, pr.converged))
+    return t, hit, stats
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -88,6 +91,49 @@ def _solve_dense(params, camera: Camera, config: RenderConfig, frame):
         bound_radius=config.bound_radius,
     )
     return result.t, result.hit
+
+
+def solve_surface_async(
+    params,
+    camera: Camera,
+    config: RenderConfig,
+    frame: float = 0.0,
+):
+    """Dispatch the staged t*-solve WITHOUT the host stats check.
+
+    Returns ``(t, hit, check)`` where t/hit are device arrays available
+    immediately for dispatching downstream programs (e.g. the grad step) in
+    the same device queue, and ``check()`` later fetches the stats and
+    returns True iff the fast path sufficed. If check() is False the caller
+    must discard the downstream results and redo the work via the
+    synchronous ``solve_surface`` (rare: refine-bucket overflow or an
+    exotic schedule). Saves one tunnel round trip (~26 ms) per step.
+    """
+    frame = jnp.asarray(frame, jnp.float32)
+    t, hit, stats = _solve_scheduled(params, camera, config, frame)
+
+    def check(stats_out: Optional[dict] = None) -> bool:
+        active_count, steps_done, hit_count, refine_overflow = (
+            int(v) for v in np.asarray(stats)
+        )
+        ok = (
+            refine_overflow == 0
+            and not (active_count > 0 and steps_done < config.max_steps)
+            and not (
+                config.march_precision != "mixed"
+                and active_count > 0
+                and steps_done >= config.max_steps
+            )
+        )
+        if stats_out is not None:
+            stats_out.update(
+                rays=config.num_rays, steps=steps_done, hits=hit_count,
+                unresolved=active_count, refine_overflow=refine_overflow,
+                fast_path=ok,
+            )
+        return ok
+
+    return t, hit, check
 
 
 def solve_surface(

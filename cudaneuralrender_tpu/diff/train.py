@@ -55,7 +55,7 @@ def pixel_train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
-@functools.partial(jax.jit, static_argnames=("config", "lr"))
+@functools.partial(jax.jit, static_argnames=("config", "lr", "compact_cap"))
 def _pixel_grad_step_from_t(
     state: TrainState,
     camera: Camera,
@@ -64,12 +64,16 @@ def _pixel_grad_step_from_t(
     hit: jax.Array,
     config: RenderConfig,
     lr: float,
+    compact_cap=None,
 ) -> Tuple[TrainState, jax.Array]:
     """The jittable half of the fast pixel step: loss + grads + adam update
     from a PRECOMPUTED surface solve — one SDF eval and one SDF gradient per
-    pixel; no march anywhere in the program."""
+    pixel; no march anywhere in the program. ``compact_cap`` additionally
+    restricts the differentiated shading to a packed hit bucket
+    (losses.pixel_loss docstring)."""
     loss, grads = jax.value_and_grad(losses.pixel_loss)(
-        state.params, camera, config, target, t_star=t_star, hit=hit
+        state.params, camera, config, target, t_star=t_star, hit=hit,
+        compact_cap=compact_cap,
     )
     opt = make_optimizer(lr)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -98,14 +102,48 @@ def pixel_train_step_fast(
     reference's render loop (src/volumeRender_kernel.cu:652-689) run at the
     inference fast path's speed — BASELINE config 4 / round-2 VERDICT item 1.
 
-    Host-orchestrated (solve_surface syncs on its overflow stats) — call
-    OUTSIDE jit.
+    Host-orchestrated (the surface solve checks its overflow stats) — call
+    OUTSIDE jit. Passing the SAME ``stats_out`` dict across consecutive
+    steps additionally enables the pipelined mode: the previous step's hit
+    count sizes this step's grad bucket, so the grad program dispatches
+    behind the solve with NO intermediate host sync (one tunnel round trip
+    saved per step); the deferred stats check then validates the fast path
+    and redoes the step synchronously in the rare overflow/bucket-miss case.
     """
-    t_star, hit = solve_surface(
-        state.params, camera, config, stats_out=stats_out
-    )
+    from ..ops import compaction
+    from .solve import solve_surface_async
+
+    stats = stats_out if stats_out is not None else {}
+    n = config.num_rays
+    hint = stats.get("hits")
+
+    if hint is not None:
+        # Pipelined: size the bucket from the previous step, dispatch
+        # solve + grad back-to-back, check stats once at the end.
+        cap = compaction.capacity_pow2_of(
+            hint, n, minimum=config.compact_min
+        )
+        t_star, hit, check = solve_surface_async(
+            state.params, camera, config
+        )
+        new_state, loss = _pixel_grad_step_from_t(
+            state, camera, target, t_star, hit, config, lr,
+            cap if cap < n else None,
+        )
+        if check(stats_out=stats) and stats["hits"] <= cap:
+            return new_state, loss
+        # Fast path failed or the hit count outgrew the bucket: discard
+        # and redo synchronously below.
+
+    t_star, hit = solve_surface(state.params, camera, config, stats_out=stats)
+    hits = stats.get("hits") if stats.get("fast_path") else None
+    if hits is None:
+        hits = int(jnp.sum(hit))
+        stats["hits"] = hits
+    cap = compaction.capacity_pow2_of(hits, n, minimum=config.compact_min)
     return _pixel_grad_step_from_t(
-        state, camera, target, t_star, hit, config, lr
+        state, camera, target, t_star, hit, config, lr,
+        cap if cap < n else None,
     )
 
 

@@ -141,3 +141,17 @@ def scatter_state(full_tree, compact_tree, indices: jax.Array, valid: jax.Array)
         return full.at[safe].set(comp, mode="drop")
 
     return jax.tree_util.tree_map(put, full_tree, compact_tree)
+
+
+def capacity_pow2_of(count: int, total: int, minimum: int = 8192,
+                     headroom: float = 1.25) -> int:
+    """Snug power-of-2 capacity holding ``count`` with ``headroom`` slack.
+
+    Finer-grained than ``capacity_bucket_of`` (powers of 2 vs powers of 4):
+    used where the bucket is consumed by a single compiled program whose
+    cost scales with capacity (the compacted grad shading,
+    diff/losses.pixel_loss) — at ~172k hits in a 2M image the 4^k bucket
+    lands on N/4 = 518k while 2^k with headroom gives 256k."""
+    need = max(int(count * headroom), int(minimum), 1)
+    cap = 1 << (need - 1).bit_length()
+    return min(cap, int(total))
