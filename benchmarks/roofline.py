@@ -77,17 +77,19 @@ def _rtt() -> float:
 
 def measure_chain_rate(params, precision, n: int = 2 ** 20, steps: int = 64,
                        tile: int = 8192, reps: int = 3, rtt: float | None = None,
-                       chained: int = 4) -> float:
+                       chained: int = 4, scene: str = "neural_raw") -> float:
     """ns per lane-step of the fused in-kernel MLP chain at ``precision``.
 
     A fixed-step megakernel march over ``n`` always-active lanes (rays
     pointed away from the scene so nothing converges): cost/lane-step is
     exact — the empirical per-precision floor on THIS chip. Chains
     ``chained`` programs per timing so the tunnel RTT amortizes.
+    ``scene`` prices the in-kernel CSG compose into the floor (CSG scenes
+    run the compose every step — benchmarks/exp_csg_roofline.py).
     """
     from cudaneuralrender_tpu.utils.config import RenderConfig
 
-    cfg = RenderConfig(width=1, height=1, scene="neural_raw")
+    cfg = RenderConfig(width=1, height=1, scene=scene)
     origin = jnp.asarray([0.0, 0.0, -2.0], jnp.float32)
     dirs = jnp.broadcast_to(
         jnp.asarray([0.0, -1.0, 0.0], jnp.float32), (n, 3)
@@ -176,10 +178,10 @@ def compute(params, camera, config, *, rates=None) -> Roofline:
     if rates is None:
         rtt = _rtt()
         r_d = measure_chain_rate(
-            params, jax.lax.Precision.DEFAULT, rtt=rtt
+            params, jax.lax.Precision.DEFAULT, rtt=rtt, scene=config.scene
         )
         r_h = measure_chain_rate(
-            params, jax.lax.Precision.HIGHEST, rtt=rtt
+            params, jax.lax.Precision.HIGHEST, rtt=rtt, scene=config.scene
         )
     else:
         r_d, r_h = rates

@@ -109,7 +109,10 @@ def solve_surface_async(
     synchronous ``solve_surface`` (rare: refine-bucket overflow or an
     exotic schedule). Saves one tunnel round trip (~26 ms) per step.
     """
+    from ..render.renderer import _SCHEDULE_MEMO
+
     frame = jnp.asarray(frame, jnp.float32)
+    config = _SCHEDULE_MEMO.get(config, config)
     t, hit, stats = _solve_scheduled(params, camera, config, frame)
 
     def check(stats_out: Optional[dict] = None) -> bool:
@@ -151,7 +154,11 @@ def solve_surface(
     overflow retries with a widened schedule; a step-starved "full"-precision
     truncation falls back to the dense exact march. Call OUTSIDE jit/grad.
     """
+    from ..render.renderer import _SCHEDULE_MEMO, _widen
+
     frame = jnp.asarray(frame, jnp.float32)
+    orig_config = config
+    config = _SCHEDULE_MEMO.get(config, config)
     t, hit, stats = _solve_scheduled(params, camera, config, frame)
     active_count, steps_done, hit_count, refine_overflow = (
         int(v) for v in np.asarray(stats)
@@ -171,15 +178,10 @@ def solve_surface(
         # mid-ladder bucket — overflow can originate from a HIGH rung). If
         # widening no longer changes the config (all divs already 1) the
         # overflow cannot clear; finish on the exact dense path instead of
-        # recursing forever.
-        widened = config.replace(
-            refine_schedule=tuple(
-                (max(d // 2, 1), s) for d, s in config.refine_schedule
-            ),
-            mid_schedule=tuple(
-                (max(d // 2, 1), s) for d, s in config.mid_schedule
-            ),
-        )
+        # recursing forever. The shared adaptive memo then lets future
+        # solves (and renders) of this config dispatch the working schedule
+        # directly.
+        widened = _widen(config)
         if widened == config:
             if stats_out is not None:
                 stats_out.update(fast_path=False, dense_fallback=True)
@@ -187,6 +189,7 @@ def solve_surface(
         result = solve_surface(
             params, camera, widened, frame, stats_out=stats_out
         )
+        _SCHEDULE_MEMO[orig_config] = _SCHEDULE_MEMO.get(widened, widened)
         if stats_out is not None:
             # After the recursion: its own update wrote fast_path=True on
             # success — this solve as a whole was not the fast path.

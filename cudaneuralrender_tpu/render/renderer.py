@@ -1016,6 +1016,28 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
     return rgba, pr, stats
 
 
+# Adaptive-schedule memo: config -> the widened config a previous overflow
+# retry proved necessary. Scenes whose near-surface set outgrows the default
+# refine ladder (e.g. many_sphere covers ~27% of the 1080p frame vs
+# plane_1's 16%) otherwise pay the double-render retry on EVERY frame; with
+# the memo the first overflow teaches the process and subsequent frames
+# dispatch the working schedule directly (measured many_sphere 174 ->
+# ~[roofline-bound] ms/frame). Purely a performance hint — the widened
+# schedule is what the retry would have produced anyway.
+_SCHEDULE_MEMO: dict = {}
+
+
+def _widen(config: RenderConfig) -> RenderConfig:
+    return config.replace(
+        refine_schedule=tuple(
+            (max(d // 2, 1), s) for d, s in config.refine_schedule
+        ),
+        mid_schedule=tuple(
+            (max(d // 2, 1), s) for d, s in config.mid_schedule
+        ),
+    )
+
+
 def render_staged(
     params: Optional[MLPParams],
     camera: Camera,
@@ -1040,6 +1062,8 @@ def render_staged(
     continuation stages — empty in the common case.
     """
     frame = jnp.asarray(frame, jnp.float32)
+    orig_config = config
+    config = _SCHEDULE_MEMO.get(config, config)
 
     rgba, pr, stats = _render_scheduled(params, camera, config, matcap, frame)
     active_count, steps_done, hit_count, refine_overflow = (
@@ -1065,14 +1089,7 @@ def render_staged(
         # roughly one extra mixed render (~2x) instead of the ~7x of a
         # march_precision="full" re-render, at one extra (cached) compile
         # per doubling level actually reached.
-        widened = config.replace(
-            refine_schedule=tuple(
-                (max(d // 2, 1), s) for d, s in config.refine_schedule
-            ),
-            mid_schedule=tuple(
-                (max(d // 2, 1), s) for d, s in config.mid_schedule
-            ),
-        )
+        widened = _widen(config)
         if widened == config:
             # All buckets already span the image yet overflow persists
             # (cannot happen with the default schedules — terminal guard
@@ -1086,6 +1103,10 @@ def render_staged(
         result = render_staged(
             params, camera, widened, matcap, frame, stats_out=stats_out,
         )
+        # Teach the memo the schedule that finally worked (the recursion may
+        # have widened further) so future frames of this config dispatch it
+        # directly instead of re-discovering the overflow.
+        _SCHEDULE_MEMO[orig_config] = _SCHEDULE_MEMO.get(widened, widened)
         if stats_out is not None:
             stats_out.update(fast_path=False)
         return result
@@ -1216,6 +1237,8 @@ def render_sequence(
     """
     if frames is None:
         frames = [0.0] * len(cameras)
+    orig_config = config
+    config = _SCHEDULE_MEMO.get(config, config)
     queued = []
     prev_state = prev2_state = None
     for cam, fr in zip(cameras, frames):
@@ -1275,16 +1298,12 @@ def render_sequence(
             # The pipelined attempt already proved this frame's near set
             # exceeds the first refine bucket — go straight to the widened
             # schedule instead of letting render_staged burn a second
-            # base-config render just to rediscover the overflow.
-            widened = config.replace(
-                refine_schedule=tuple(
-                    (max(d // 2, 1), s) for d, s in config.refine_schedule
-                ),
-                mid_schedule=tuple(
-                    (max(d // 2, 1), s) for d, s in config.mid_schedule
-                ),
-            )
+            # base-config render just to rediscover the overflow, and teach
+            # the memo so the NEXT render_sequence call (and any remaining
+            # turntable chunks) dispatches the working schedule directly.
+            widened = _widen(config)
             out.append(render_staged(params, cam, widened, matcap, fr))
+            _SCHEDULE_MEMO[orig_config] = _SCHEDULE_MEMO.get(widened, widened)
         else:
             out.append(render_staged(params, cam, config, matcap, fr))
     return out
