@@ -206,37 +206,22 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
 
     @scenario("grad_step_ms")
     def _():
-        import jax
+        from cudaneuralrender_tpu.diff import train
 
-        from cudaneuralrender_tpu.diff import losses
-        from cudaneuralrender_tpu.diff.solve import solve_surface
-        from cudaneuralrender_tpu.ops import compaction
-
+        # The production training-step API: staged solve + compacted grad
+        # shading + adam update, pipelined via the deferred stats check
+        # (one host sync per step). The reused stats dict carries the hit
+        # count that sizes the grad bucket across steps.
         target = jnp.zeros((h, w, 4), jnp.float32)
-
-        # Hit-bucket capacity for the compacted grad shading (stable across
-        # cameras of the same scene; pixel_train_step_fast does the same).
-        st = {}
-        solve_surface(params, cameras[0], config, stats_out=st)
-        cap = compaction.capacity_pow2_of(
-            st["hits"], n_rays, minimum=config.compact_min)
-        cap = cap if cap < n_rays else None
-
-        @jax.jit
-        def fast_grad(p, t_star, hit):
-            return jax.value_and_grad(
-                lambda q: losses.pixel_loss(
-                    q, cameras[0], config, target, t_star=t_star, hit=hit,
-                    compact_cap=cap,
-                )
-            )(p)
+        state = train.init_train_state(params, 1e-3)
+        st: dict = {}
 
         def step():
-            t_star, hit = solve_surface(params, cameras[0], config)
-            loss, grads = fast_grad(params, t_star, hit)
+            s, loss = train.pixel_train_step_fast(
+                state, cameras[0], target, config, 1e-3, stats_out=st)
             float(loss)
-            jax.block_until_ready(grads)
 
+        step()  # populate stats + compile the pipelined variant
         dt = _time_frames(step, 1, reps=3)
         out["grad_step_mrays_per_s"] = round(n_rays / dt / 1e6, 2)
         return round(dt * 1e3, 1)
