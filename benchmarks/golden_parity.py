@@ -53,6 +53,10 @@ def _load_golden(name: str, flip: bool, res: int) -> np.ndarray:
     if flip:
         golden = golden[::-1]
     if golden.shape[0] != res:
+        if res > golden.shape[0] or golden.shape[0] % res:
+            raise ValueError(
+                f"--res {res} must evenly divide the {golden.shape[0]}px "
+                "golden (integer-stride downsample)")
         golden = golden[:: golden.shape[0] // res, :: golden.shape[0] // res]
     return golden
 

@@ -76,10 +76,16 @@ def main() -> int:
 
         def grad_value(p):
             # Pipelined: grad program dispatches behind the solve; the
-            # deferred stats check replaces the mid-step host sync.
+            # deferred stats check replaces the mid-step host sync. On a
+            # rare fast-path failure (e.g. a refine-bucket overflow during
+            # an FD perturbation sweep) redo via the synchronous solve —
+            # the same fallback the production step uses — instead of
+            # aborting the benchmark.
             t_star, hit, check = solve_surface_async(p, cam, cfg)
             out = _fast_grad(p, t_star, hit)
-            assert check(), "staged solve fell off the fast path"
+            if not check():
+                t_star, hit = solve_surface(p, cam, cfg)
+                out = _fast_grad(p, t_star, hit)
             return out
 
         @jax.jit

@@ -48,6 +48,7 @@ from .render.renderer import (
     render_image,
     render_sequence,
     render_staged,
+    reset_schedule_memo,
     scene_fn,
 )
 from .utils import image_io
@@ -74,6 +75,7 @@ __all__ = [
     "render_image",
     "render_sequence",
     "render_staged",
+    "reset_schedule_memo",
     "save_pytree",
     "scene_fn",
     "sdf",

@@ -109,25 +109,17 @@ def solve_surface_async(
     synchronous ``solve_surface`` (rare: refine-bucket overflow or an
     exotic schedule). Saves one tunnel round trip (~26 ms) per step.
     """
-    from ..render.renderer import _SCHEDULE_MEMO
+    from ..render.renderer import memo_lookup, schedule_ok
 
     frame = jnp.asarray(frame, jnp.float32)
-    config = _SCHEDULE_MEMO.get(config, config)
+    config = memo_lookup(params, config)
     t, hit, stats = _solve_scheduled(params, camera, config, frame)
 
     def check(stats_out: Optional[dict] = None) -> bool:
         active_count, steps_done, hit_count, refine_overflow = (
             int(v) for v in np.asarray(stats)
         )
-        ok = (
-            refine_overflow == 0
-            and not (active_count > 0 and steps_done < config.max_steps)
-            and not (
-                config.march_precision != "mixed"
-                and active_count > 0
-                and steps_done >= config.max_steps
-            )
-        )
+        ok = schedule_ok(active_count, steps_done, refine_overflow, config)
         if stats_out is not None:
             stats_out.update(
                 rays=config.num_rays, steps=steps_done, hits=hit_count,
@@ -154,11 +146,11 @@ def solve_surface(
     overflow retries with a widened schedule; a step-starved "full"-precision
     truncation falls back to the dense exact march. Call OUTSIDE jit/grad.
     """
-    from ..render.renderer import _SCHEDULE_MEMO, _widen
+    from ..render.renderer import _widen, memo_lookup, memo_teach
 
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
-    config = _SCHEDULE_MEMO.get(config, config)
+    config = memo_lookup(params, config)
     t, hit, stats = _solve_scheduled(params, camera, config, frame)
     active_count, steps_done, hit_count, refine_overflow = (
         int(v) for v in np.asarray(stats)
@@ -189,7 +181,7 @@ def solve_surface(
         result = solve_surface(
             params, camera, widened, frame, stats_out=stats_out
         )
-        _SCHEDULE_MEMO[orig_config] = _SCHEDULE_MEMO.get(widened, widened)
+        memo_teach(params, orig_config, widened)
         if stats_out is not None:
             # After the recursion: its own update wrote fast_path=True on
             # success — this solve as a whole was not the fast path.

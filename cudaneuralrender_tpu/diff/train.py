@@ -130,10 +130,22 @@ def pixel_train_step_fast(
             state, camera, target, t_star, hit, config, lr,
             cap if cap < n else None,
         )
-        if check(stats_out=stats) and stats["hits"] <= cap:
-            return new_state, loss
-        # Fast path failed or the hit count outgrew the bucket: discard
-        # and redo synchronously below.
+        if check(stats_out=stats):
+            if stats["hits"] <= cap:
+                return new_state, loss
+            # The solve succeeded but the hit count outgrew the bucket:
+            # the async t_star/hit are still valid — re-dispatch only the
+            # grad program with a bucket sized from the true hit count
+            # instead of redoing the whole staged solve.
+            cap = compaction.capacity_pow2_of(
+                stats["hits"], n, minimum=config.compact_min
+            )
+            return _pixel_grad_step_from_t(
+                state, camera, target, t_star, hit, config, lr,
+                cap if cap < n else None,
+            )
+        # Solve fast path failed (refine overflow / step starvation):
+        # discard and redo synchronously below.
 
     t_star, hit = solve_surface(state.params, camera, config, stats_out=stats)
     hits = stats.get("hits") if stats.get("fast_path") else None
@@ -223,4 +235,13 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
             raise ValueError(
                 f"leaf shape mismatch: checkpoint {got.shape} vs template "
                 f"{jnp.shape(want)}")
+        want_dtype = jnp.asarray(want).dtype
+        if got.dtype != want_dtype:
+            # A checkpoint saved under a different mlp_dtype would load
+            # silently and change numerics — the bit-identical-resume
+            # guarantee requires dtype equality, not just shape.
+            raise ValueError(
+                f"leaf dtype mismatch: checkpoint {got.dtype} vs template "
+                f"{want_dtype} — was this state saved under a different "
+                "mlp_dtype?")
     return jax.tree_util.tree_unflatten(treedef, leaves)

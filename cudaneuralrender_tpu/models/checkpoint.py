@@ -110,13 +110,24 @@ def load_pytree(path: str, *, dtype=jnp.float32) -> MLPParams:
 
 
 def load(path: str, *, dtype=jnp.float32) -> MLPParams:
-    """Load a model by extension: .h5/.hdf5 -> Keras, .npz -> native."""
+    """Load a model by extension: .h5/.hdf5 -> Keras, .npz -> native.
+
+    Tags the loaded pytree with the file basename (utils/memo.py) so the
+    staged renderer's adaptive-schedule memo can key on geometry identity
+    and persist learned schedules across processes."""
+    import os
+
+    from ..utils import memo as _memo
+
     lower = path.lower()
     if lower.endswith((".h5", ".hdf5")):
-        return load_keras_h5(path, dtype=dtype)
-    if lower.endswith(".npz"):
-        return load_pytree(path, dtype=dtype)
-    raise ValueError(f"unknown checkpoint format: {path}")
+        params = load_keras_h5(path, dtype=dtype)
+    elif lower.endswith(".npz"):
+        params = load_pytree(path, dtype=dtype)
+    else:
+        raise ValueError(f"unknown checkpoint format: {path}")
+    _memo.tag_geometry(params, os.path.basename(path))
+    return params
 
 
 def save_orbax(path: str, params: MLPParams) -> None:

