@@ -20,10 +20,18 @@ scheduler overhead, and ``pct_of_roofline`` is the judged "saturation"
 number the round-2 verdict asked to replace the qualitative claim in
 docs/ARCHITECTURE.md.
 
-The per-precision floors themselves sit ~2.1x above the derived MXU issue
-bound (see ARCHITECTURE.md "Roofline" — operand staging of the 32-wide
-chain), so kernel efficiency and scheduler efficiency are tracked as
-separate ratios.
+The per-precision floors are the attainable per-chip speed of light, not a
+soft target (settled round 4, benchmarks/exp_stepcost2.py): the production
+kernel's chain matches a bare 9-weight dot loop to within noise (2.35 vs
+2.36 ns at HIGHEST — while_loop cost, per-step input rebuild, and weight
+indexing all measure free), DEFAULT runs at the MXU's per-lane streaming
+rate (a [128,128] block-diagonal 4x MAC fill is throughput-neutral, so the
+bound is lane streaming, not MAC issue), and HIGHEST's 6 bf16 passes are
+irreducible at march_eps=1e-6 (hand-built 6-pass emulation is SLOWER than
+Mosaic's native lowering, 2.50 vs 2.35; a 5-pass scheme reaches 2.04 but
+its 5.2e-5 max SDF error disqualifies it below eps~1e-3, where the cheaper
+3-pass HIGH already exists). Frame-time gains above this line must come
+from scheduler efficiency — fewer executed lane-steps — not the kernel.
 
 Reference anchor: the CUDA renderer's own perf line is MTexels/s
 (src/main.cpp:434-438); BASELINE.json demands "speed-of-light per chip,

@@ -54,9 +54,16 @@ from cudaneuralrender_tpu.parallel import mesh as mesh_lib
 from cudaneuralrender_tpu.parallel.sharding import render_image_sharded
 
 
-def time_render(params, cam, cfg, mesh, reps: int) -> float:
+def time_render(params, cam, cfg, mesh, reps: int, staged: bool = False) -> float:
+    from cudaneuralrender_tpu.parallel.sharding import (
+        render_image_sharded_staged,
+    )
+
     def run():
-        img = render_image_sharded(params, cam, cfg, mesh)
+        if staged:
+            img = render_image_sharded_staged(params, cam, cfg, mesh)
+        else:
+            img = render_image_sharded(params, cam, cfg, mesh)
         return float(jnp.sum(img))  # forces the gather + completion
 
     run()  # compile
@@ -164,6 +171,13 @@ def main() -> int:
     ap.add_argument("--model", default="/root/reference/neuralGeometries/plane_1.h5")
     ap.add_argument("--cpu", type=int, default=None,
                     help="force CPU platform with N virtual devices")
+    ap.add_argument("--staged", action="store_true",
+                    help="drive the STAGED sharded fast path "
+                         "(render_image_sharded_staged) instead of the "
+                         "dense march; on the CPU backend the Pallas "
+                         "megakernel phases are disabled (interpret mode "
+                         "would dominate) — XLA rungs exercise the same "
+                         "scheduler")
     ap.add_argument("--multihost", type=int, default=None,
                     help="spawn N local processes (4 virtual CPU devices "
                          "each, localhost coordinator) and measure the "
@@ -187,12 +201,18 @@ def main() -> int:
 
     base = None
     for n in counts:
+        kw = {}
+        if args.staged:
+            kw = dict(march_impl="staged")
+            if jax.default_backend() == "cpu":
+                kw.update(coarse_pallas=False, refine_pallas=False,
+                          tail_pallas=False)
         cfg = cnr.RenderConfig(
             width=w, height=(h // n) * n, scene="neural_raw",
-            max_steps=args.steps,
+            max_steps=args.steps, **kw,
         )
         mesh = mesh_lib.make_mesh((n, 1), ("data", "model"), devices[:n])
-        dt = time_render(params, cam, cfg, mesh, args.reps)
+        dt = time_render(params, cam, cfg, mesh, args.reps, staged=args.staged)
         rays_s = cfg.num_rays / dt
         if base is None:
             base = rays_s

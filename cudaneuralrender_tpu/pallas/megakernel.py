@@ -209,7 +209,7 @@ def march_pallas_state(
     n_pad = n_tiles * tile
 
     weights, biases, n_in, hidden = pack_params(params)
-    compose = scenes.compose_fn(config.scene)
+    compose = scenes.compose_fn(config.scene, config.cyl_window)
     if compose is None:
         raise ValueError(
             f"megakernel does not support scene {config.scene!r}; "

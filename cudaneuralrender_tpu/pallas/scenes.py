@@ -68,8 +68,9 @@ def _many_sphere(pts, d, frame, do_union):
     return d
 
 
-def _many_cylinder_cut(pts, d):
-    """ops/sdf.many_cylinder_cut via a 5x5 grid window (reference :156-174).
+def _many_cylinder_cut(pts, d, window: int = 5):
+    """ops/sdf.many_cylinder_cut via a (window x window) grid window
+    (reference :156-174).
 
     The 300 cylinders form a REGULAR 20x15 grid (spacing 0.1): column c has
     center x = -0.88 + 0.1c, row r center y = 0.42 - 0.1r. smooth_subtract
@@ -84,12 +85,24 @@ def _many_cylinder_cut(pts, d):
     (row, col) index order, matching the reference loop restricted to the
     non-identity subset. 25 vs 300 smooth-subtracts per step: the scene was
     composition-bound in-kernel (445 ms/frame at 1080p).
+
+    window=3 narrows the exact band: omitted cylinders then sit at grid
+    Chebyshev distance >= 2, i.e. >= 2*0.1 - 0.05 (max off-center) - 0.02
+    (radius/offset) ~ 0.11 from any evaluated point, so smooth_subtract
+    (k=0.01) is an exact identity for every point with d_scene > -0.1 —
+    the same interior-only error class as the 5x5's -0.2 band, asserted by
+    tests/test_pallas.py::test_compose_fn_cylinder_window_band. 9 vs 25
+    smooth-subtracts cuts the scene's per-lane-step compose floor ~2.4x
+    (RenderConfig.cyl_window; benchmarks/exp_cyl.py).
     """
+    assert window in (3, 5), window
+    half = float(window // 2)
+    offs = [float(k) for k in range(-int(half), int(half) + 1)]
     px, py = pts[0:1], pts[1:2]
     c0 = jnp.floor((px + 0.88) / 0.1 + 0.5)  # nearest column, as float
     r0 = jnp.floor((0.42 - py) / 0.1 + 0.5)  # nearest row
-    for dr in (-2.0, -1.0, 0.0, 1.0, 2.0):
-        for dc in (-2.0, -1.0, 0.0, 1.0, 2.0):
+    for dr in offs:
+        for dc in offs:
             c = c0 + dc
             r = r0 + dr
             valid = (c >= 0.0) & (c <= 19.0) & (r >= 0.0) & (r <= 14.0)
@@ -109,8 +122,11 @@ def _displacement(pts, d):
     return jnp.tanh(d) + s * 0.05
 
 
-def compose_fn(scene: str):
-    """Kernel-layout scene composition, or None for unsupported scenes."""
+def compose_fn(scene: str, cyl_window: int = 5):
+    """Kernel-layout scene composition, or None for unsupported scenes.
+
+    ``cyl_window`` selects many_cylinder_cut's grid window (see
+    RenderConfig.cyl_window)."""
     if scene == "neural_raw":
         return lambda pts, d, frame: d
     if scene == "neural_tanh":
@@ -120,7 +136,7 @@ def compose_fn(scene: str):
     if scene == "many_sphere_cut":
         return lambda pts, d, frame: _many_sphere(pts, d, frame, False)
     if scene == "many_cylinder_cut":
-        return lambda pts, d, frame: _many_cylinder_cut(pts, d)
+        return lambda pts, d, frame: _many_cylinder_cut(pts, d, cyl_window)
     if scene == "displacement":
         return lambda pts, d, frame: _displacement(pts, d)
     return None

@@ -117,3 +117,51 @@ def run(n_devices: int) -> None:
     r_state, r_loss = pixel_train_step_sharded(r_state, Camera(), tgt, r_cfg, dmesh)
     jax.block_until_ready(r_loss)
     assert np.isfinite(float(r_loss))
+
+    # ---- config 5 FAST PATH: the staged scheduler under shard_map ---------
+    # (round-3 VERDICT item 1: the sharded product must be the staged/
+    # megakernel path, not the round-0 dense march.)
+    from .sharding import render_image_sharded_staged, solve_surface_sharded
+
+    flagship = "/root/reference/neuralGeometries/plane_1.h5"
+    import os as _os
+
+    if _os.path.exists(flagship):
+        from ..models import checkpoint
+
+        s_params = checkpoint.load(flagship)
+    else:
+        s_params = mlp.init_mlp(jax.random.key(4))
+
+    # 512-wide staged render per shard, XLA rung path (interpret-mode
+    # megakernels at this size would dominate the dryrun's budget on CPU;
+    # the kernel shard body is exercised below at small shapes).
+    s_cfg = RenderConfig(
+        width=512, height=64 * n_devices, scene="neural_raw", max_steps=600,
+        march_impl="staged", coarse_pallas=False, refine_pallas=False,
+        tail_pallas=False,
+    )
+    img = render_image_sharded_staged(s_params, Camera(rotation_y=25.0), s_cfg, dmesh)
+    jax.block_until_ready(img)
+    assert img.shape == (s_cfg.height, s_cfg.width, 4)
+
+    # Megakernel shard body (coarse + refine rungs in-kernel) at small shape.
+    k_cfg = RenderConfig(
+        width=32, height=4 * n_devices, scene="neural_raw", max_steps=64,
+        march_impl="staged",
+    )
+    img_k = render_image_sharded_staged(s_params, Camera(rotation_y=25.0), k_cfg, dmesh)
+    jax.block_until_ready(img_k)
+    assert img_k.shape == (k_cfg.height, k_cfg.width, 4)
+
+    # Sharded staged solve feeding the sharded train step (the training
+    # fast path on a mesh: staged t* per shard, grads psummed by GSPMD).
+    t_star, hit = solve_surface_sharded(s_params, Camera(rotation_y=25.0), k_cfg, dmesh)
+    s_state = train_lib.init_train_state(s_params)
+    s_tgt = jnp.zeros((k_cfg.height, k_cfg.width, 4), jnp.float32)
+    s_state, s_loss = pixel_train_step_sharded(
+        s_state, Camera(rotation_y=25.0), s_tgt, k_cfg, dmesh,
+        t_star=t_star, hit=hit,
+    )
+    jax.block_until_ready(s_loss)
+    assert np.isfinite(float(s_loss))

@@ -19,12 +19,14 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.mlp import MLPParams
 from ..ops import camera as camera_lib
 from ..ops import march, shading
 from ..ops.camera import Camera
+from ..render import renderer as renderer_lib
 from ..render.renderer import scene_fn
 from ..utils.config import RenderConfig
 
@@ -196,3 +198,305 @@ def pixel_train_step_sharded(
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return train_lib.TrainState(params, opt_state, state.step + 1), loss
+
+
+# ---------------------------------------------------------------------------
+# Staged fast path under shard_map (round-3 VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _shard_pos_np(h: int, w: int, n_shards: int, block) -> np.ndarray:
+    """[n_shards, n_local] int32: each shard's GLOBAL pixel indices.
+
+    Shard s owns image rows s, s+S, s+2S, ... (ROW-INTERLEAVED, S =
+    n_shards): contiguous bands concentrate the object into one or two
+    shards — measured on plane_1 at 512²/8 shards, a mid-object band's
+    near-surface set reached 66% of its lanes (vs 16% globally), blowing
+    every per-shard refine bucket and degenerating the widen-retry loop to
+    the dense fallback. Interleaved rows give every shard a statistically
+    identical slice of the scene, so per-shard buckets fit exactly when the
+    single-device ones do AND per-shard work is balanced (the frame time of
+    a sharded render is the max over shards). Reassembly is a cheap regular
+    transpose (_assemble), not a gather.
+
+    Within each shard, indices are permuted block-major (``block`` =
+    config.coarse_block, keyed on GLOBAL image coordinates) so the shard's
+    coarse megakernel tiles cover compact 2D image regions and sky tiles
+    early-exit — renderer._block_order_np's trick applied to the shard's
+    row subset.
+
+    Falls back to contiguous flat-index bands when h % n_shards != 0 (the
+    load-balance caveat then applies; the overflow retry keeps it correct).
+    """
+    n = h * w
+    assert n % n_shards == 0, (n, n_shards)
+    n_local = n // n_shards
+    if h % n_shards == 0:
+        rows = np.arange(h, dtype=np.int32).reshape(-1, n_shards).T  # [S, h/S]
+        pos = (rows[:, :, None] * w + np.arange(w, dtype=np.int32)).reshape(
+            n_shards, n_local
+        )
+    else:
+        pos = np.arange(n, dtype=np.int32).reshape(n_shards, n_local)
+    if block:
+        bh, bw = block
+        ys, xs = np.divmod(pos, w)
+        key = (ys // bh) * ((w + bw - 1) // bw) + (xs // bw)
+        order = np.argsort(key, axis=1, kind="stable")
+        pos = np.take_along_axis(pos, order, axis=1)
+    return pos
+
+
+def _assemble(flat: jax.Array, h: int, w: int, n_shards: int) -> jax.Array:
+    """Undo the shard layout of _shard_pos_np: [N, ...] in concat-of-shards
+    pos-ascending order -> [N, ...] image (raster) order. Row-interleaved
+    layouts need one regular transpose; contiguous bands are already
+    raster."""
+    if h % n_shards:
+        return flat
+    tail = flat.shape[1:]
+    # flat = concat over shards; shard s, local row j holds image row
+    # j*S + s, so [S, h/S, w] -> transpose -> [h/S, S, w] is raster order.
+    x = flat.reshape((n_shards, h // n_shards, w) + tail)
+    return jnp.swapaxes(x, 0, 1).reshape((h * w,) + tail)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "data_axis", "solve_only")
+)
+def _staged_sharded_program(
+    params,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    matcap,
+    frame,
+    data_axis: str = "data",
+    solve_only: bool = False,
+):
+    """The whole staged render (or t*-solve), shard_map'ed over ray bands.
+
+    Each shard runs the COMPLETE fast path — coarse megakernel, precision
+    ladder, packed rungs, compacted shading — on its own n/n_shards-lane
+    bundle with per-shard static buckets; rays are independent so there is
+    no cross-chip traffic until the one stats all-reduce at the end (the
+    per-frame health check collapses to a single [5] replicated vector:
+    psum'd active/hit counts, pmax'd steps/overflow/shade-excess).
+
+    Returns (rgba_flat [N, 4] sharded, stats [5]) — or
+    ((t [N], hit [N]) sharded, stats) with ``solve_only``. The reference's
+    compacted render loop (volumeRender_kernel.cu:549-576,652-689) thereby
+    stops being single-chip-only in its TPU successor.
+    """
+    n_shards = mesh.shape[data_axis]
+    if config.num_rays % n_shards:
+        raise ValueError(
+            f"rays ({config.num_rays}) not divisible by data axis ({n_shards})"
+        )
+    cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
+    pos_all = jnp.asarray(
+        _shard_pos_np(
+            config.height, config.width, n_shards, config.coarse_block
+        ).reshape(-1)
+    )
+    frame = jnp.asarray(frame, jnp.float32)
+
+    def shard_body(params, pos, cam_to_world, world_to_cam, matcap, frame):
+        n_local = pos.shape[0]
+        origin = cam_to_world[:, 3]
+        dirs = camera_lib.ray_dirs_from_index(
+            cam_to_world, pos, config.height, config.width, config.focal
+        )
+        pr, steps, _within, ovf = renderer_lib._scheduled_march.__wrapped__(
+            params, cam_to_world, origin, dirs, config, frame, None, pos
+        )
+        conv_within = renderer_lib._conv_within(config, n_local)
+        if solve_only:
+            from ..ops import compaction
+
+            t, hit = compaction.sort_restore_leaves(pr.pos, (pr.t, pr.converged))
+            out = (t, hit)
+            hit_count = jnp.sum(pr.converged.astype(jnp.int32))
+            shade_excess = jnp.zeros((), jnp.int32)
+        else:
+            rgba, pr, hit_count = renderer_lib._shade_packed(
+                params, origin, cam_to_world, pr, steps, world_to_cam,
+                config, matcap, frame, within=conv_within, flat=True,
+            )
+            out = rgba
+            shade_cap = renderer_lib._shade_capacity(config, n_local, conv_within)
+            shade_excess = (
+                jnp.zeros((), jnp.int32)
+                if shade_cap >= n_local
+                else jnp.maximum(hit_count - shade_cap, 0)
+            )
+        active = jnp.sum(pr.active.astype(jnp.int32))
+        stats = jnp.stack(
+            [
+                jax.lax.psum(active, data_axis),
+                jax.lax.pmax(jnp.asarray(steps, jnp.int32), data_axis),
+                jax.lax.psum(hit_count, data_axis),
+                jax.lax.pmax(jnp.asarray(ovf, jnp.int32), data_axis),
+                jax.lax.pmax(jnp.asarray(shade_excess, jnp.int32), data_axis),
+            ]
+        )
+        return out, stats
+
+    out_spec = (P(data_axis), P(data_axis)) if solve_only else P(data_axis)
+    out, stats = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(), P(), P(), P()),
+        out_specs=(out_spec, P()),
+        check_vma=False,
+    )(params, pos_all, cam_to_world, world_to_cam, matcap, frame)
+    h, w = config.height, config.width
+    if solve_only:
+        out = tuple(_assemble(x, h, w, n_shards) for x in out)
+    else:
+        out = _assemble(out, h, w, n_shards)
+    return out, stats
+
+
+def _sharded_fast(stats, config: RenderConfig) -> bool:
+    active, steps, hits, ovf, shade_excess = (int(v) for v in np.asarray(stats))
+    return (
+        renderer_lib.schedule_ok(active, steps, ovf, config)
+        and shade_excess == 0
+    )
+
+
+def render_image_sharded_staged(
+    params: Optional[MLPParams],
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    matcap: Optional[jax.Array] = None,
+    frame: jax.Array | float = 0.0,
+    data_axis: str = "data",
+    *,
+    stats_out: Optional[dict] = None,
+) -> jax.Array:
+    """Tile-sharded render through the STAGED fast path (BASELINE config 5).
+
+    Host-orchestrated like render_staged: one stats fetch per frame; a
+    refine-bucket overflow on ANY shard retries the whole frame with the
+    widened schedule (and teaches the shared adaptive memo); the remaining
+    slow-path corners (step starvation, shade-bucket overflow without a
+    ``within`` bound) fall back to the exact dense sharded march — rare by
+    the same argument as the single-device path, and always correct.
+
+    Returns the full [H, W, 4] image (row-sharded across devices).
+    """
+    frame = jnp.asarray(frame, jnp.float32)
+    orig_config = config
+    config = renderer_lib.memo_lookup(params, config)
+    rgba_flat, stats = _staged_sharded_program(
+        params, camera, config, mesh, matcap, frame, data_axis
+    )
+    st = np.asarray(stats)
+    fast = _sharded_fast(st, config)
+    if stats_out is not None:
+        active, steps, hits, ovf, shade_excess = (int(v) for v in st)
+        stats_out.update(
+            rays=config.num_rays, steps=steps, hits=hits, unresolved=active,
+            refine_overflow=ovf, shade_excess=shade_excess, fast_path=fast,
+        )
+    if fast:
+        return rgba_flat.reshape(config.height, config.width, 4)
+
+    if int(st[3]) > 0:
+        widened = renderer_lib._widen(config)
+        if widened != config:
+            out = render_image_sharded_staged(
+                params, camera, widened, mesh, matcap, frame, data_axis,
+                stats_out=stats_out,
+            )
+            renderer_lib.memo_teach(params, orig_config, widened)
+            if stats_out is not None:
+                stats_out.update(fast_path=False)
+            return out
+
+    # Exact dense fallback (reference-ordered march on every shard), with
+    # the same u8 quantization round-trip the staged path applies so every
+    # frame of one config is uniformly quantized.
+    rgba = render_image_sharded(
+        params, camera, config, mesh, matcap, frame, data_axis
+    )
+    if config.rgba_packed:
+        rgba = shading.unpack_rgba_u32(shading.pack_rgba_u32(rgba))
+    if stats_out is not None:
+        stats_out.update(fast_path=False, dense_fallback=True)
+    return rgba
+
+
+def solve_surface_sharded(
+    params,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    frame: jax.Array | float = 0.0,
+    data_axis: str = "data",
+    *,
+    stats_out: Optional[dict] = None,
+):
+    """Tile-sharded staged t*-solve: (t_star [N], hit [N]) in image order,
+    each row-band resident on its own device — feed directly into
+    ``pixel_train_step_sharded(..., t_star=t, hit=hit)`` so the sharded
+    training step's march phase runs at staged-path speed too (the
+    diff/solve.py::solve_surface analogue on a mesh)."""
+    frame = jnp.asarray(frame, jnp.float32)
+    orig_config = config
+    config = renderer_lib.memo_lookup(params, config)
+    (t, hit), stats = _staged_sharded_program(
+        params, camera, config, mesh, None, frame, data_axis, solve_only=True
+    )
+    st = np.asarray(stats)
+    active, steps, hits, ovf, _ = (int(v) for v in st)
+    fast = renderer_lib.schedule_ok(active, steps, ovf, config)
+    if stats_out is not None:
+        stats_out.update(
+            rays=config.num_rays, steps=steps, hits=hits, unresolved=active,
+            refine_overflow=ovf, fast_path=fast,
+        )
+    if fast:
+        return t, hit
+
+    if ovf > 0:
+        widened = renderer_lib._widen(config)
+        if widened != config:
+            out = solve_surface_sharded(
+                params, camera, widened, mesh, frame, data_axis,
+                stats_out=stats_out,
+            )
+            renderer_lib.memo_teach(params, orig_config, widened)
+            if stats_out is not None:
+                stats_out.update(fast_path=False)
+            return out
+
+    # Dense exact fallback, sharded march (rare).
+    cam_to_world, _ = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+
+    def shard_solve(params, origin, dirs, frame):
+        f = scene_fn(params, config, frame)
+        result = march.sphere_trace(
+            f, origin, dirs,
+            max_steps=config.max_steps, march_eps=config.march_eps,
+            bound_center=config.bound_center, bound_radius=config.bound_radius,
+        )
+        return result.t, result.hit
+
+    t, hit = jax.jit(
+        jax.shard_map(
+            shard_solve, mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P()),
+            out_specs=(P(data_axis), P(data_axis)),
+            check_vma=False,
+        )
+    )(params, origin, dirs, frame)
+    if stats_out is not None:
+        stats_out.update(fast_path=False, dense_fallback=True)
+    return t, hit

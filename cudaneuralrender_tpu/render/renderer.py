@@ -459,8 +459,16 @@ def _warm_guard(coarse, origin, dirs, state, config: RenderConfig):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, frame,
-                     t_init=None):
+                     t_init=None, pos=None):
     """The full staged-compaction march as ONE compiled program.
+
+    ``pos`` (optional [n] int32): the GLOBAL pixel index of each lane, for
+    callers marching a SUBSET of the image (the sharded path: each shard's
+    bundle carries its band's indices, already in the caller's preferred
+    lane order — e.g. block-major for megakernel tile locality). ``dirs``
+    must then already correspond to ``pos``. Image-order-only phases
+    (prepass, the internal block reorder) are skipped; everything else is
+    index-carried and works unchanged.
 
     Phase A (coarse): dense prefix of config.stage_steps, then the
     coarse_schedule rungs — at DEFAULT matmul precision down to coarse_eps
@@ -499,6 +507,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
     use_prepass = (
         mixed
         and t_init is None
+        and pos is None  # prepass needs the full image-shaped lane layout
         and config.prepass_factor > 1
         and config.height % config.prepass_factor == 0
         and config.width % config.prepass_factor == 0
@@ -558,7 +567,11 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         from ..pallas.fused_mlp import should_interpret
 
         pos0 = None
-        if config.coarse_block and not use_prepass and not config.grid_res:
+        if pos is not None:
+            # Sharded caller: lanes already carry global indices in the
+            # caller's order (block-major per shard) — no rebuild.
+            pos0 = pos
+        elif config.coarse_block and not use_prepass and not config.grid_res:
             # Block-major lane order (see _block_order_np): rebuild dirs and
             # the init state in that order; downstream stages only ever see
             # the carried pixel index, so nothing else changes.
@@ -587,7 +600,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         with jax.named_scope("coarse_kernel"):
             state, resolve = megakernel.march_pallas_state(
                 params, origin, dirs, state, config, frame,
-                tile=8192, march_eps=eps_a,
+                tile=min(8192, dirs.shape[0]), march_eps=eps_a,
                 precision=prec_a,
                 relax_omega=(0.0 if config.relax_newton else relax),
                 interpret=should_interpret(),
@@ -615,6 +628,8 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
                 omega_max=config.relax_omega_max,
             )
             pr, steps = _pack_init(state, dirs), state.steps
+            if pos is not None:
+                pr = pr._replace(pos=pos)
             difficulty = None  # XLA coarse path tracks no per-ray step counts
             pr, steps, within = _run_schedule(
                 coarse, origin, cam_to_world, pr, steps, schedule_a, config, eps_a,
@@ -830,7 +845,7 @@ def _shade_capacity(config: RenderConfig, n: int, within) -> int:
 
 def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
                   world_to_cam, config: RenderConfig, matcap, frame,
-                  within=None):
+                  within=None, flat: bool = False):
     """Shade hit pixels in packed lane order, then restore image order.
 
     Three paths pick where normals + colors run:
@@ -845,6 +860,11 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
         conv) and shade there; the caller falls back to dense shading when
         hit_count exceeds the bucket (host check).
       * bucket >= image: shade densely.
+
+    ``flat=True`` returns colors as [n, 4] in pos-ascending lane order
+    instead of reshaping to the full image (sharded callers: each shard
+    holds a contiguous index band, so concatenating the shards' flat
+    outputs IS the image).
 
     One final key-sort on ``pos`` restores image order. With
     config.rgba_packed the colors ride it as a single u32 (the reference's
@@ -919,9 +939,7 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
                     [packed, jnp.zeros((n - region,), jnp.uint32)]
                 )
             (restored,) = compaction.sort_restore_leaves(pos_sh, (packed,))
-            rgba = shading.unpack_rgba_u32(restored).reshape(
-                config.height, config.width, 4
-            )
+            rgba = shading.unpack_rgba_u32(restored)
     else:
         colors = region_colors
         if region < n:
@@ -932,9 +950,9 @@ def _shade_packed(params, origin, cam_to_world, pr: PackedRays, steps,
             pos_sh,
             (colors[:, 0], colors[:, 1], colors[:, 2], colors[:, 3]),
         )
-        rgba = jnp.stack(restored, axis=-1).reshape(
-            config.height, config.width, 4
-        )
+        rgba = jnp.stack(restored, axis=-1)
+    if not flat:
+        rgba = rgba.reshape(config.height, config.width, 4)
     return rgba, pr, hit_count
 
 

@@ -229,6 +229,13 @@ class RenderConfig:
     # dense prefix, no sort, no bucket rung. Measured 27 -> ~8 ms at 1080p.
     coarse_pallas: bool = True
 
+    # many_cylinder_cut in-kernel grid window (pallas/scenes.py): 5 = exact
+    # for scene distance > -0.2, 3 = exact for > -0.1 (same interior-only
+    # error class — the march stops at the surface) at ~2.4x less compose
+    # cost per lane-step; the scene is compose-bound in-kernel. The dense
+    # XLA path always runs the complete 300-cylinder chain.
+    cyl_window: int = 5
+
     # Baked-distance-grid empty-space skipping (ops/grid.py). MEASURED SLOW
     # on TPU (5.5 s vs 0.33 s per 1080p frame): the 8-tap trilinear gather
     # over 2M dynamic indices is XLA-gather-bound — TPUs have no fast
@@ -295,6 +302,8 @@ class RenderConfig:
             raise ValueError("num_inputs must be 3 or 4")
         if self.coarse_precision not in ("default", "high"):
             raise ValueError(f"unknown coarse_precision {self.coarse_precision!r}")
+        if self.cyl_window not in (3, 5):
+            raise ValueError("cyl_window must be 3 or 5")
         return self
 
 

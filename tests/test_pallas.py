@@ -196,14 +196,15 @@ from cudaneuralrender_tpu.pallas import scenes as kscenes  # noqa: E402
 from cudaneuralrender_tpu.ops import sdf as sdf_ops  # noqa: E402
 
 
-def _compose_parity_points(plane1_params, scene, frame, key=0, n=4096):
+def _compose_parity_points(plane1_params, scene, frame, key=0, n=4096,
+                           cyl_window=5):
     """Evaluate the kernel-layout compose and the dense scene fn on the same
     random points in the bounding volume; return (dense, kernel) [n]."""
     pts = jax.random.uniform(
         jax.random.key(key), (n, 3), minval=-1.2, maxval=1.2
     ).astype(jnp.float32)
     d_raw = mlp.apply_scalar(plane1_params, pts)
-    compose = kscenes.compose_fn(scene)
+    compose = kscenes.compose_fn(scene, cyl_window)
     d_kernel = np.asarray(compose(pts.T, d_raw[None, :], frame)[0])
 
     neural = lambda p: mlp.apply_scalar(plane1_params, p)
@@ -234,6 +235,19 @@ def test_compose_fn_cylinder_window_band(plane1_params):
         plane1_params, "many_cylinder_cut", 0.0, n=8192
     )
     band = d_dense > -0.2
+    assert band.sum() > 1000, "sampling failed to populate the near band"
+    np.testing.assert_allclose(d_kernel[band], d_dense[band], atol=1e-6)
+
+
+def test_compose_fn_cylinder_window3_band(plane1_params):
+    """cyl_window=3 (9 smooth-subtracts): exact wherever the scene distance
+    is > -0.1 — the derivation in pallas/scenes.py (omitted cylinders sit
+    >= ~0.11 from any sample, so smooth_subtract k=0.01 is an identity).
+    Same interior-only error class as the 5x5 window, narrower band."""
+    d_dense, d_kernel = _compose_parity_points(
+        plane1_params, "many_cylinder_cut", 0.0, n=16384, cyl_window=3
+    )
+    band = d_dense > -0.1
     assert band.sum() > 1000, "sampling failed to populate the near band"
     np.testing.assert_allclose(d_kernel[band], d_dense[band], atol=1e-6)
 
