@@ -208,6 +208,7 @@ def mlp_forward_pallas(
     """
     L, H, _ = weights.shape
     B, n_in = x.shape
+    tile = min(tile, max_tile_for_width(H, L))
     n_tiles = pl.cdiv(B, tile)
     Bp = n_tiles * tile
 
@@ -234,6 +235,29 @@ def mlp_forward_pallas(
 def should_interpret() -> bool:
     """Pallas TPU kernels need interpret mode on the CPU backend (tests)."""
     return jax.default_backend() == "cpu"
+
+
+def max_tile_for_width(hidden: int, n_layers: int = 9,
+                       budget_bytes: int = 8 * 2 ** 20,
+                       three_pass: bool = False) -> int:
+    """Largest lane-tile that keeps a chain kernel's working set within a
+    conservative VMEM budget (half of a v5e core's ~16 MB, leaving room for
+    Mosaic's double buffering and the march state rows).
+
+    The shipped 32-wide nets fit any tile (8192 lanes = ~2 MB of
+    activations); user MLPs at hidden width 128-256 must shrink the tile or
+    the kernel refuses to fit: per lane the kernel holds two [hidden] f32
+    activation registers plus the weight stack (three_pass doubles the
+    weight bytes: hi+lo bf16 halves equal one f32 copy, plus the f32 stack
+    is replaced). Returns a power of two >= 256.
+    """
+    weight_bytes = n_layers * hidden * hidden * 4 * (2 if three_pass else 1)
+    per_lane = 2 * hidden * 4
+    avail = max(budget_bytes - weight_bytes, per_lane * 256)
+    tile = 256
+    while tile * 2 * per_lane <= avail and tile < 8192:
+        tile *= 2
+    return tile
 
 
 def neural_sdf_fn_pallas(

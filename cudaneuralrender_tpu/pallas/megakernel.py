@@ -36,7 +36,10 @@ from ..ops import march, shading
 from ..ops.camera import Camera
 from ..utils.config import RenderConfig
 from . import scenes
-from .fused_mlp import _mlp_chain, _mlp_chain_3pass, pack_params, split_hi_lo
+from .fused_mlp import (
+    _mlp_chain, _mlp_chain_3pass, max_tile_for_width, pack_params,
+    split_hi_lo,
+)
 
 
 def _march_megakernel(
@@ -204,11 +207,16 @@ def march_pallas_state(
     steps are latency-bound in an XLA while_loop (one loop-iteration
     round trip per step), but run at VMEM speed inside the kernel.
     """
+    weights, biases, n_in, hidden = pack_params(params)
+    # Wide user MLPs (hidden 64-256) shrink the lane tile to stay inside
+    # the VMEM budget (fused_mlp.max_tile_for_width); the shipped 32-wide
+    # nets keep the caller's tile.
+    tile = min(tile, max_tile_for_width(
+        hidden, weights.shape[0],
+        three_pass=(precision == jax.lax.Precision.HIGH)))
     n = dirs.shape[0]
     n_tiles = pl.cdiv(n, tile)
     n_pad = n_tiles * tile
-
-    weights, biases, n_in, hidden = pack_params(params)
     compose = scenes.compose_fn(config.scene, config.cyl_window)
     if compose is None:
         raise ValueError(

@@ -91,11 +91,22 @@ def render_global(
 ) -> jax.Array:
     """One cross-process SPMD render. Returns the [H, W, 4] image as a
     globally-sharded array — use ``local_tiles``/``write_local_tiles`` for
-    the per-host rows, or ``gather_image`` to replicate it everywhere."""
-    from .sharding import render_image_sharded
+    the per-host rows, or ``gather_image`` to replicate it everywhere.
 
+    Staged configs (march_impl="staged") run the staged fast path per shard
+    (sharding.render_image_sharded_staged): every process fetches the same
+    replicated stats vector, so the overflow-retry decisions stay in
+    lockstep across hosts."""
     if mesh is None:
         mesh = global_mesh()
+    if config.march_impl == "staged":
+        from .sharding import render_image_sharded_staged
+
+        return render_image_sharded_staged(
+            params, camera, config, mesh, matcap, frame
+        )
+    from .sharding import render_image_sharded
+
     return render_image_sharded(params, camera, config, mesh, matcap, frame)
 
 
@@ -204,8 +215,11 @@ def render_bands(
     communication (each band is an independent single-host render of a row
     slice; parallel/fault.py::_render_band, one compiled program for all
     bands). Returns [(row_start, [rows, W, 4]), ...] host arrays, ready for
-    ``write_band_tiles``."""
-    from .fault import _render_band
+    ``write_band_tiles``. Staged configs (march_impl="staged") run each
+    band through the staged fast path with a dense fallback
+    (fault.render_band_auto) — the per-host band path is no longer pinned
+    to the round-0 dense march."""
+    from .fault import render_band_auto
 
     if host_id is None:
         host_id = jax.process_index()
@@ -222,11 +236,10 @@ def render_bands(
     for band, owner in enumerate(owners):
         if owner != host_id:
             continue
-        rgba = _render_band(
-            params, camera, config, matcap, frame,
-            jnp.asarray(band, jnp.int32), n_bands,
+        rgba = render_band_auto(
+            params, camera, config, matcap, frame, band, n_bands,
         )
-        out.append((band * rows, np.asarray(rgba)))
+        out.append((band * rows, rgba))
     return out
 
 

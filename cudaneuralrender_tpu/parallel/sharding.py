@@ -390,7 +390,12 @@ def render_image_sharded_staged(
     """
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
-    config = renderer_lib.memo_lookup(params, config)
+    if jax.process_count() == 1:
+        # Multi-host worlds skip the memo LOOKUP: a persisted entry present
+        # on one host but not another would dispatch different programs and
+        # deadlock the SPMD step. Widening retries stay consistent — they
+        # are driven by the replicated stats vector every process fetches.
+        config = renderer_lib.memo_lookup(params, config)
     rgba_flat, stats = _staged_sharded_program(
         params, camera, config, mesh, matcap, frame, data_axis
     )
@@ -447,7 +452,8 @@ def solve_surface_sharded(
     diff/solve.py::solve_surface analogue on a mesh)."""
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
-    config = renderer_lib.memo_lookup(params, config)
+    if jax.process_count() == 1:  # see render_image_sharded_staged
+        config = renderer_lib.memo_lookup(params, config)
     (t, hit), stats = _staged_sharded_program(
         params, camera, config, mesh, None, frame, data_axis, solve_only=True
     )

@@ -232,9 +232,12 @@ class RenderConfig:
     # many_cylinder_cut in-kernel grid window (pallas/scenes.py): 5 = exact
     # for scene distance > -0.2, 3 = exact for > -0.1 (same interior-only
     # error class — the march stops at the surface) at ~2.4x less compose
-    # cost per lane-step; the scene is compose-bound in-kernel. The dense
-    # XLA path always runs the complete 300-cylinder chain.
-    cyl_window: int = 5
+    # cost per lane-step; the scene is compose-bound in-kernel. Measured at
+    # 1080p (benchmarks/exp_cyl.py): 108.6 -> 92.6 ms/frame with IDENTICAL
+    # per-frame hit count and step count, so 3 is the default; the dense
+    # XLA path always runs the complete 300-cylinder chain, and a widened
+    # ladder measured strictly worse (151.6 ms — the near set fits).
+    cyl_window: int = 3
 
     # Baked-distance-grid empty-space skipping (ops/grid.py). MEASURED SLOW
     # on TPU (5.5 s vs 0.33 s per 1080p frame): the 8-tap trilinear gather
