@@ -222,8 +222,12 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         # The production training-step API: staged solve + compacted grad
         # shading + adam update, pipelined via the deferred stats check
         # (one host sync per step). The reused stats dict carries the hit
-        # count that sizes the grad bucket across steps.
-        target = jnp.zeros((h, w, 4), jnp.float32)
+        # count that sizes the grad bucket across steps. Target = a render
+        # from a nearby pose (realistic small-gradient training; a zeros
+        # target morphs the geometry so fast the pow2 grad bucket changes
+        # and recompiles mid-run).
+        target = jnp.asarray(np.asarray(cnr.render_staged(
+            params, cnr.Camera(rotation_y=26.0, rotation_x=10.0), config)))
         state = train.init_train_state(params, 1e-3)
         st: dict = {}
 
@@ -235,6 +239,21 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         step()  # populate stats + compile the pipelined variant
         dt = _time_frames(step, 1, reps=3)
         out["grad_step_mrays_per_s"] = round(n_rays / dt / 1e6, 2)
+
+        # Pipelined multi-step training (train.train_loop_fast): checks
+        # deferred one step so the per-step tunnel RTT overlaps the next
+        # step's device work — the production training-loop mode, measured
+        # with the same amortized protocol as the rendering scenarios.
+        def loop8():
+            train.train_loop_fast(state, [cameras[0]] * 9, target, config,
+                                  1e-3)
+
+        loop8()
+        t0 = time.perf_counter()
+        train.train_loop_fast(state, [cameras[0]] * 9, target, config, 1e-3)
+        # first (seed) step is synchronous; amortize over the 8 pipelined
+        out["grad_loop_step_ms"] = round(
+            (time.perf_counter() - t0) / 9 * 1e3, 1)
         return round(dt * 1e3, 1)
 
     return out

@@ -64,13 +64,24 @@ def _pixel_loss_compact(
     params, camera, config, target, matcap, frame, t_star, hit, cap: int
 ) -> jax.Array:
     from ..ops import compaction, shading
+    from ..render.renderer import _SHADE_PREC
     from .implicit import implicit_surface_t
 
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
-    origin, dirs = camera_lib.generate_rays(
-        cam_to_world, config.height, config.width, config.focal
-    )
     f = scene_fn(params, config, frame)
+    # The grad program is CHAIN-bound (unlike inference shading, where the
+    # restore sort dominates and HIGH measured no change): the
+    # differentiated normals carry second-order chain terms, and running
+    # ONLY the shading chain at grad_shade_precision cut the 1080p grad
+    # program 41.6 -> 32.4 ms (benchmarks/exp_grad.py). The implicit-t
+    # reattachment keeps the full-precision chain (t* accuracy is the
+    # surface solve's 1e-6 contract).
+    f_shade = f
+    shade_prec = _SHADE_PREC[config.grad_shade_precision]
+    if shade_prec != jax.lax.Precision.HIGHEST:
+        f_shade = scene_fn(
+            params, config, frame, for_grad=True, precision=shade_prec
+        )
     hit = jax.lax.stop_gradient(hit)
     t_star = jax.lax.stop_gradient(t_star)
     tgt = target.reshape(-1, 4)
@@ -79,21 +90,28 @@ def _pixel_loss_compact(
     # measured-fast compaction idiom — cumsum/scatter + per-leaf gathers
     # cost ~10x more at 2M lanes, ops/compaction.py sort_pack_leaves). All
     # sorted leaves are gradient-severed constants, so the sort never
-    # appears in the backward pass.
+    # appears in the backward pass. The ray DIRECTIONS do not ride the
+    # sort: the carried pixel index reconstructs them in the bucket
+    # (camera.ray_dirs_from_index — the inference bundle's slim-payload
+    # idiom).
+    pos = jnp.arange(tgt.shape[0], dtype=jnp.int32)
     packed = compaction.sort_pack_leaves(
         hit,
-        (dirs[:, 0], dirs[:, 1], dirs[:, 2], t_star,
-         tgt[:, 0], tgt[:, 1], tgt[:, 2], tgt[:, 3]),
+        (pos, t_star, tgt[:, 0], tgt[:, 1], tgt[:, 2], tgt[:, 3]),
     )
-    d_sub = jnp.stack([p[:cap] for p in packed[:3]], axis=-1)
-    t_sub = packed[3][:cap]
-    tgt_sub = jnp.stack([p[:cap] for p in packed[4:]], axis=-1)
+    origin = cam_to_world[:, 3]
+    d_sub = camera_lib.ray_dirs_from_index(
+        cam_to_world, packed[0][:cap], config.height, config.width,
+        config.focal,
+    )
+    t_sub = packed[1][:cap]
+    tgt_sub = jnp.stack([p[:cap] for p in packed[2:]], axis=-1)
     valid = jnp.arange(cap) < jnp.sum(hit.astype(jnp.int32))
 
     t = implicit_surface_t(f, origin, d_sub, t_sub)
     points = origin + d_sub * t[:, None]
     colors = shading.shade(
-        f, points, d_sub,
+        f_shade, points, d_sub,
         mode=config.shading, normal_mode=config.normal_mode,
         normal_eps=config.normal_eps, world_to_cam=world_to_cam,
         matcap=matcap,

@@ -115,9 +115,14 @@ def solve_surface_async(
     config = memo_lookup(params, config)
     t, hit, stats = _solve_scheduled(params, camera, config, frame)
 
-    def check(stats_out: Optional[dict] = None) -> bool:
+    def check(stats_out: Optional[dict] = None, values=None) -> bool:
+        """``values``: optionally the already-fetched [4] stats (the caller
+        fused the fetch with other scalars to save a tunnel round trip —
+        see train.pixel_train_step_fast); otherwise fetched here."""
+        if values is None:
+            values = np.asarray(stats)
         active_count, steps_done, hit_count, refine_overflow = (
-            int(v) for v in np.asarray(stats)
+            int(v) for v in values
         )
         ok = schedule_ok(active_count, steps_done, refine_overflow, config)
         if stats_out is not None:
@@ -128,6 +133,7 @@ def solve_surface_async(
             )
         return ok
 
+    check.stats = stats  # device array, for fused fetches
     return t, hit, check
 
 

@@ -122,6 +122,16 @@ class RenderConfig:
     # not matmul-bound), so the default stays HIGHEST — exactness for free.
     shade_precision: str = "highest"
 
+    # Matmul precision of the SHADING chain inside the differentiated
+    # training loss (diff/losses._pixel_loss_compact). Unlike inference
+    # shading, the grad program is chain-bound — its normals carry
+    # second-order chain terms — and HIGH (3-pass, max SDF err 2.2e-4) cut
+    # the 1080p grad program 41.6 -> 32.4 ms with grad parity preserved
+    # (benchmarks/exp_grad.py; rel-L2 vs HIGHEST grads ~1e-3, below the
+    # FD-parity tolerance). The implicit-t reattachment always stays at
+    # HIGHEST. "highest" restores exact round-3 behavior.
+    grad_shade_precision: str = "high"
+
     # Mixed-precision march (staged path): "mixed" runs a precision ladder —
     # each phase marches at a cheaper matmul precision down to an epsilon
     # that dominates that precision's measured SDF error (plane_1):
@@ -307,6 +317,11 @@ class RenderConfig:
             raise ValueError(f"unknown coarse_precision {self.coarse_precision!r}")
         if self.cyl_window not in (3, 5):
             raise ValueError("cyl_window must be 3 or 5")
+        if self.shade_precision not in ("highest", "high", "default"):
+            raise ValueError(f"unknown shade_precision {self.shade_precision!r}")
+        if self.grad_shade_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                f"unknown grad_shade_precision {self.grad_shade_precision!r}")
         return self
 
 

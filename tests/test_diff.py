@@ -407,3 +407,60 @@ def test_pixel_train_step_fast_uses_compact_bucket(plane1_params):
             state, cam, target, cfg, 1e-3, stats_out=stats)
         losses_seq.append(float(loss))
     assert min(losses_seq[1:]) < losses_seq[0]
+
+
+def test_train_loop_fast_matches_sequential(plane1_params):
+    """Pipelined multi-step training (train_loop_fast, deferred checks) must
+    reproduce the sequential pixel_train_step_fast trajectory: same losses,
+    same final weights — pipelining only reorders host fetches, never
+    device math."""
+    import cudaneuralrender_tpu as cnr
+    from cudaneuralrender_tpu.diff import train
+
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=200, march_impl="staged",
+                           coarse_pallas=False, refine_pallas=False)
+    cams = [cnr.Camera(rotation_y=20.0 + 2 * i) for i in range(4)]
+    target = jnp.asarray(np.asarray(cnr.render_image(
+        plane1_params, cnr.Camera(rotation_y=24.0),
+        cfg.replace(march_impl="while"))))
+
+    s0 = train.init_train_state(plane1_params, lr=1e-3)
+    seq_state, seq_losses, st = s0, [], {}
+    for cam in cams:
+        seq_state, loss = train.pixel_train_step_fast(
+            seq_state, cam, target, cfg, 1e-3, stats_out=st)
+        seq_losses.append(float(loss))
+
+    stats_list = []
+    loop_state, loop_losses = train.train_loop_fast(
+        s0, cams, target, cfg, 1e-3, stats_out=stats_list)
+
+    np.testing.assert_allclose(loop_losses, seq_losses, rtol=1e-6)
+    assert len(stats_list) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(loop_state.params),
+                    jax.tree_util.tree_leaves(seq_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_train_loop_fast_overflow_redo(plane1_params):
+    """A mid-loop fast-path failure (tiny refine buckets) must roll back
+    and redo synchronously — the loop's losses still track the sequential
+    trajectory within the widened-schedule tolerance."""
+    import cudaneuralrender_tpu as cnr
+    from cudaneuralrender_tpu.diff import train
+
+    cnr.reset_schedule_memo()
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=200, march_impl="staged",
+                           compact_min=8,
+                           refine_schedule=((1024, 4), (1024, 0)),
+                           coarse_pallas=False, refine_pallas=False)
+    cams = [cnr.Camera(rotation_y=20.0 + 2 * i) for i in range(3)]
+    target = jnp.zeros((32, 32, 4), jnp.float32)
+    s0 = train.init_train_state(plane1_params, lr=1e-3)
+    state, losses_out = train.train_loop_fast(s0, cams, target, cfg, 1e-3)
+    assert len(losses_out) == 3
+    assert all(np.isfinite(l) for l in losses_out)
+    cnr.reset_schedule_memo()
