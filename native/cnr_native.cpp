@@ -135,15 +135,47 @@ bool encode_png_mem(const uint8_t* pixels, uint32_t w, uint32_t h, int channels,
   return true;
 }
 
-// Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA / palette
-// unsupported) to RGBA.
+// Unfilter PNG scanlines (raw = h * (stride+1) bytes with a leading filter
+// byte each) into a contiguous pixel buffer. `bpp` is the filter's byte
+// distance (bytes per complete pixel, min 1 — for sub-byte palette indices
+// the spec fixes it at 1).
+static bool unfilter_scanlines(const std::vector<uint8_t>& raw, uint32_t h,
+                               size_t stride, int bpp,
+                               std::vector<uint8_t>& pix) {
+  pix.resize(stride * h);
+  for (uint32_t y = 0; y < h; y++) {
+    uint8_t filter = raw[y * (stride + 1)];
+    const uint8_t* src = &raw[y * (stride + 1) + 1];
+    uint8_t* dst = &pix[y * stride];
+    const uint8_t* up = y ? &pix[(y - 1) * stride] : nullptr;
+    for (size_t x = 0; x < stride; x++) {
+      int a = x >= size_t(bpp) ? dst[x - bpp] : 0;
+      int b = up ? up[x] : 0;
+      int c = (up && x >= size_t(bpp)) ? up[x - bpp] : 0;
+      int v = src[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: return false;
+      }
+      dst[x] = uint8_t(v);
+    }
+  }
+  return true;
+}
+
+// Decode a non-interlaced PNG (8-bit gray / gray+alpha / RGB / RGBA, or
+// palette at bit depth 1/2/4/8 with optional tRNS alpha) to RGBA.
 bool decode_png_mem(const uint8_t* data, size_t len, std::vector<uint8_t>& rgba,
                     uint32_t* out_w, uint32_t* out_h) {
   if (len < 8 || memcmp(data, kPngSig, 8) != 0) return false;
   size_t pos = 8;
   uint32_t w = 0, h = 0;
   int bit_depth = 0, color_type = -1, interlace = 0;
-  std::vector<uint8_t> idat;
+  std::vector<uint8_t> idat, palette, trns;
 
   while (pos + 8 <= len) {
     uint32_t clen = read_u32(data + pos);
@@ -157,6 +189,11 @@ bool decode_png_mem(const uint8_t* data, size_t len, std::vector<uint8_t>& rgba,
       bit_depth = cdata[8];
       color_type = cdata[9];
       interlace = cdata[12];
+    } else if (memcmp(type, "PLTE", 4) == 0) {
+      if (clen % 3 || clen > 256 * 3) return false;
+      palette.assign(cdata, cdata + clen);
+    } else if (memcmp(type, "tRNS", 4) == 0) {
+      trns.assign(cdata, cdata + clen);
     } else if (memcmp(type, "IDAT", 4) == 0) {
       idat.insert(idat.end(), cdata, cdata + clen);
     } else if (memcmp(type, "IEND", 4) == 0) {
@@ -164,43 +201,59 @@ bool decode_png_mem(const uint8_t* data, size_t len, std::vector<uint8_t>& rgba,
     }
     pos += 12 + clen;
   }
-  if (!w || !h || bit_depth != 8 || interlace != 0) return false;
+  if (!w || !h || interlace != 0) return false;
+
+  if (color_type == 3) {
+    // Palette image: scanlines carry packed indices (MSB-first within a
+    // byte below depth 8); PLTE maps index -> rgb, tRNS -> alpha.
+    if (!(bit_depth == 1 || bit_depth == 2 || bit_depth == 4 ||
+          bit_depth == 8) || palette.empty())
+      return false;
+    size_t stride = (size_t(w) * bit_depth + 7) / 8;
+    std::vector<uint8_t> raw, pix;
+    if (!zlib_inflate(idat.data(), idat.size(), raw, (stride + 1) * h))
+      return false;
+    if (!unfilter_scanlines(raw, h, stride, 1, pix)) return false;
+    size_t n_entries = palette.size() / 3;
+    rgba.resize(size_t(w) * h * 4);
+    for (uint32_t y = 0; y < h; y++) {
+      const uint8_t* row = &pix[y * stride];
+      for (uint32_t x = 0; x < w; x++) {
+        uint32_t idx;
+        if (bit_depth == 8) {
+          idx = row[x];
+        } else {
+          uint32_t bitpos = x * bit_depth;
+          idx = (row[bitpos >> 3] >> (8 - bit_depth - (bitpos & 7))) &
+                ((1u << bit_depth) - 1);
+        }
+        if (idx >= n_entries) return false;
+        uint8_t* d = &rgba[(size_t(y) * w + x) * 4];
+        d[0] = palette[idx * 3];
+        d[1] = palette[idx * 3 + 1];
+        d[2] = palette[idx * 3 + 2];
+        d[3] = idx < trns.size() ? trns[idx] : 255;
+      }
+    }
+    *out_w = w;
+    *out_h = h;
+    return true;
+  }
+
+  if (bit_depth != 8) return false;
   int channels;
   switch (color_type) {
     case 0: channels = 1; break;  // gray
     case 2: channels = 3; break;  // rgb
     case 4: channels = 2; break;  // gray+alpha
     case 6: channels = 4; break;  // rgba
-    default: return false;        // palette not supported
+    default: return false;
   }
 
   size_t stride = size_t(w) * channels;
-  std::vector<uint8_t> raw;
+  std::vector<uint8_t> raw, pix;
   if (!zlib_inflate(idat.data(), idat.size(), raw, (stride + 1) * h)) return false;
-
-  // unfilter in place into a contiguous pixel buffer
-  std::vector<uint8_t> pix(stride * h);
-  for (uint32_t y = 0; y < h; y++) {
-    uint8_t filter = raw[y * (stride + 1)];
-    const uint8_t* src = &raw[y * (stride + 1) + 1];
-    uint8_t* dst = &pix[y * stride];
-    const uint8_t* up = y ? &pix[(y - 1) * stride] : nullptr;
-    for (size_t x = 0; x < stride; x++) {
-      int a = x >= size_t(channels) ? dst[x - channels] : 0;
-      int b = up ? up[x] : 0;
-      int c = (up && x >= size_t(channels)) ? up[x - channels] : 0;
-      int v = src[x];
-      switch (filter) {
-        case 0: break;
-        case 1: v += a; break;
-        case 2: v += b; break;
-        case 3: v += (a + b) / 2; break;
-        case 4: v += paeth(a, b, c); break;
-        default: return false;
-      }
-      dst[x] = uint8_t(v);
-    }
-  }
+  if (!unfilter_scanlines(raw, h, stride, channels, pix)) return false;
 
   // expand to RGBA
   rgba.resize(size_t(w) * h * 4);
