@@ -195,8 +195,13 @@ def march_pallas_state(
     num_steps: int | None = None,
     relax_omega: float = 0.0,
     return_resolve: bool = False,
+    cyl_window: int | None = None,
 ) -> march.MarchState:
     """Continue an existing march state inside the megakernel.
+
+    ``cyl_window`` overrides config.cyl_window for this call (the staged
+    renderer's COARSE phase may use a cheaper, conservative window — see
+    RenderConfig.cyl_window_coarse).
 
     ``return_resolve=True`` additionally returns the per-ray resolve step
     [n] float32 (the loop iteration at which each ray converged or missed)
@@ -217,7 +222,10 @@ def march_pallas_state(
     n = dirs.shape[0]
     n_tiles = pl.cdiv(n, tile)
     n_pad = n_tiles * tile
-    compose = scenes.compose_fn(config.scene, config.cyl_window)
+    compose = scenes.compose_fn(
+        config.scene,
+        config.cyl_window if cyl_window is None else cyl_window,
+    )
     if compose is None:
         raise ValueError(
             f"megakernel does not support scene {config.scene!r}; "

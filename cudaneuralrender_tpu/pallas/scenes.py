@@ -95,7 +95,7 @@ def _many_cylinder_cut(pts, d, window: int = 5):
     smooth-subtracts cuts the scene's per-lane-step compose floor ~2.4x
     (RenderConfig.cyl_window; benchmarks/exp_cyl.py).
     """
-    assert window in (3, 5), window
+    assert window in (1, 3, 5), window
     half = float(window // 2)
     offs = [float(k) for k in range(-int(half), int(half) + 1)]
     px, py = pts[0:1], pts[1:2]

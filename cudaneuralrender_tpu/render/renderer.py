@@ -605,6 +605,7 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
                 relax_omega=(0.0 if config.relax_newton else relax),
                 interpret=should_interpret(),
                 return_resolve=True,
+                cyl_window=config.cyl_window_coarse,
             )
         # coarse resolve step = the refine phase's difficulty key: rays
         # that took many coarse steps (grazing incidence) also need the
