@@ -68,7 +68,10 @@ def _pixel_loss_compact(
     from .implicit import implicit_surface_t
 
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
-    f = scene_fn(params, config, frame)
+    # Every evaluation in this loss happens at the solved surface (the
+    # implicit reattachment at t*, the shading normals), so the compose may
+    # be surface-local (windowed many_cylinder_cut).
+    f = scene_fn(params, config, frame, surface_local=True)
     # The grad program is CHAIN-bound (unlike inference shading, where the
     # restore sort dominates and HIGH measured no change): the
     # differentiated normals carry second-order chain terms, and running
@@ -80,7 +83,8 @@ def _pixel_loss_compact(
     shade_prec = _SHADE_PREC[config.grad_shade_precision]
     if shade_prec != jax.lax.Precision.HIGHEST:
         f_shade = scene_fn(
-            params, config, frame, for_grad=True, precision=shade_prec
+            params, config, frame, for_grad=True, precision=shade_prec,
+            surface_local=True,
         )
     hit = jax.lax.stop_gradient(hit)
     t_star = jax.lax.stop_gradient(t_star)

@@ -205,6 +205,40 @@ def many_cylinder_cut(p: jax.Array, neural_d: jax.Array) -> jax.Array:
     return d
 
 
+def many_cylinder_cut_windowed(
+    p: jax.Array, neural_d: jax.Array, window: int = 3
+) -> jax.Array:
+    """Dense-layout twin of the kernel's grid window
+    (pallas/scenes._many_cylinder_cut): only the (window x window) cells
+    around each point's nearest grid cell are composed — identical
+    arithmetic and (row, col) order to the kernel, exact wherever the
+    scene distance exceeds the window's band (-0.1 for window=3, see the
+    kernel docstring for the derivation). Used by the SHADING and gradient
+    chains, whose evaluation points sit on the surface (d ~ 0) — the
+    complete 300-term scan (many_cylinder_cut) cost ~40 ms of the 1080p
+    frame in the autodiff-normal chain alone (round 4, exp_cyl2.py
+    localization). March-exactness consumers keep the full scan."""
+    assert window in (1, 3, 5), window
+    px, py = p[..., 0], p[..., 1]
+    c0 = jnp.floor((px + 0.88) / 0.1 + 0.5)
+    r0 = jnp.floor((0.42 - py) / 0.1 + 0.5)
+    d = neural_d
+    half = window // 2
+    for dr in range(-half, half + 1):
+        for dc in range(-half, half + 1):
+            c = c0 + dc
+            r = r0 + dr
+            valid = (c >= 0.0) & (c <= 19.0) & (r >= 0.0) & (r <= 14.0)
+            ox = 0.9 - 0.1 * c
+            oy = -0.4 + 0.1 * r
+            dx = px + ox - 0.02
+            dy = py + oy - 0.02
+            cyl = jnp.sqrt(dx * dx + dy * dy) - 0.02
+            cyl = jnp.where(valid, cyl, 1e9)
+            d = smooth_subtract(d, cyl, 0.01)
+    return d
+
+
 def displacement_pattern(p: jax.Array, neural_d: jax.Array) -> jax.Array:
     """Sine displacement over tanh(neural) (reference :151-154)."""
     return displace(p, jnp.tanh(neural_d))
@@ -218,6 +252,7 @@ def make_scene(
     name: str,
     neural_fn: Optional[SdfFn] = None,
     frame: jax.Array | float = 0.0,
+    cyl_window: Optional[int] = None,
 ) -> SdfFn:
     """Compose a scene SDF from the raw neural field and CSG wrappers.
 
@@ -226,6 +261,11 @@ def make_scene(
       * "neural_tanh" — the intended plain path (tanh squashes the logit)
       * demo scenes   — manySphere / manyCylinderCut / displacement
       * "sphere"      — analytic-only, for tests without a network
+
+    ``cyl_window``: surface-local callers (shading/gradient chains) pass
+    RenderConfig.cyl_window to get the windowed many_cylinder_cut compose
+    (many_cylinder_cut_windowed); None keeps the complete 300-term scan
+    (march-exactness contract).
     """
     if name == "sphere":
         return lambda p: sphere(p, 0.9)
@@ -242,6 +282,10 @@ def make_scene(
     if name == "many_sphere_cut":
         return lambda p: many_sphere(p, neural_fn(p), frame, do_union=False)
     if name == "many_cylinder_cut":
+        if cyl_window is not None:
+            return lambda p: many_cylinder_cut_windowed(
+                p, neural_fn(p), cyl_window
+            )
         return lambda p: many_cylinder_cut(p, neural_fn(p))
     if name == "displacement":
         return lambda p: displacement_pattern(p, neural_fn(p))

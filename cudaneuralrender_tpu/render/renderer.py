@@ -63,6 +63,7 @@ def scene_fn(
     *,
     for_grad: bool = False,
     precision=None,
+    surface_local: bool = False,
 ):
     """Compose the scene SDF for a config (replaces the hardcoded sceneSDF,
     volumeRender_kernel.cu:217-230).
@@ -71,6 +72,13 @@ def scene_fn(
     Pallas kernel (VMEM-resident chain — the march hot path). Gradient
     consumers (autodiff normals, implicit diff) pass for_grad=True to get
     the jnp chain, which is differentiable; both produce the same values.
+
+    ``surface_local=True`` declares that every evaluation point sits on
+    (or within the window band of) the surface — shading normals, implicit
+    reattachment — enabling the windowed many_cylinder_cut compose
+    (ops/sdf.many_cylinder_cut_windowed, config.cyl_window): exact there,
+    and ~40 ms/frame cheaper than the 300-term scan in the 1080p autodiff
+    normal chain.
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -86,7 +94,10 @@ def scene_fn(
             )
         else:
             neural = neural_sdf_fn(params, frame, config.num_inputs, precision)
-    return sdf.make_scene(config.scene, neural, frame)
+    return sdf.make_scene(
+        config.scene, neural, frame,
+        cyl_window=(config.cyl_window if surface_local else None),
+    )
 
 
 _SHADE_PREC = {
@@ -98,10 +109,12 @@ _SHADE_PREC = {
 
 def shade_fn(params, config: RenderConfig, frame):
     """Scene SDF for shading/normal estimation: differentiable (jnp chain)
-    at config.shade_precision."""
+    at config.shade_precision, with surface-local composes (shade points
+    sit on the surface)."""
     return scene_fn(
         params, config, frame, for_grad=True,
         precision=_SHADE_PREC[config.shade_precision],
+        surface_local=True,
     )
 
 

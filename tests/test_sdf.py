@@ -129,3 +129,24 @@ def test_neural_tanh_squashes():
     neural = lambda p: jnp.full(p.shape[:-1], 3.0)
     scene = sdf.make_scene("neural_tanh", neural)
     np.testing.assert_allclose(np.asarray(scene(jnp.zeros((1, 3)))), [np.tanh(3.0)], atol=1e-6)
+
+
+def test_many_cylinder_cut_windowed_surface_band(plane1_params):
+    """The windowed dense compose (ops/sdf.many_cylinder_cut_windowed) must
+    equal the complete 300-term scan wherever the scene distance is above
+    the window band (window 3: > -0.1) — the only region shading/gradient
+    consumers evaluate (points sit on the surface)."""
+    import jax
+
+    from cudaneuralrender_tpu.models import mlp
+
+    pts = jax.random.uniform(
+        jax.random.key(3), (16384, 3), minval=-1.2, maxval=1.2
+    ).astype(jnp.float32)
+    d_raw = mlp.apply_scalar(plane1_params, pts)
+    full = np.asarray(sdf.many_cylinder_cut(pts, d_raw))
+    for window, band in ((3, -0.1), (5, -0.2)):
+        win = np.asarray(sdf.many_cylinder_cut_windowed(pts, d_raw, window))
+        mask = full > band
+        assert mask.sum() > 1000
+        np.testing.assert_allclose(win[mask], full[mask], atol=1e-6)
