@@ -60,6 +60,16 @@ def main() -> int:
     bands_f = multihost.render_bands(params, cam, cfg, n_bands=4, failed_hosts=[1])
     multihost.write_band_tiles(bands_f, outdir, "failover")
 
+    # 4b. STAGED fast path across processes (round-4): the whole staged
+    #     pipeline runs per shard of the cross-process mesh; every process
+    #     fetches the same replicated stats vector, so retry decisions stay
+    #     in lockstep. Each host writes its row tiles; the parent asserts
+    #     assembly == single-process staged render.
+    s_cfg = cfg.replace(march_impl="staged", coarse_pallas=False,
+                        refine_pallas=False)
+    img_s = multihost.render_global(params, cam, s_cfg, mesh)
+    multihost.write_local_tiles(img_s, outdir, "gspmd_staged")
+
     # 5. One cross-host training step: pixel targets tile-sharded over the
     #    global mesh, weight grads psummed across hosts over the coordinated
     #    backend. Loss must equal the single-process step.

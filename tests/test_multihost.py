@@ -115,3 +115,15 @@ def test_band_owner_striping_and_failover():
     assert multihost.band_owners(6, 3, failed_hosts=[2]) == [0, 1, 0, 0, 1, 1]
     with pytest.raises(ValueError):
         multihost.band_owners(2, 1, failed_hosts=[0])
+
+
+def test_gspmd_staged_tiles_match_single_process(multihost_run, plane1_params):
+    """Round-4: the staged fast path under the CROSS-PROCESS mesh — host
+    tiles must assemble to the single-process staged render exactly."""
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=300, march_impl="staged",
+                           coarse_pallas=False, refine_pallas=False)
+    cam = cnr.Camera(rotation_y=30.0, rotation_x=10.0)
+    want = np.asarray(cnr.render_staged(plane1_params, cam, cfg))
+    img = multihost.assemble_tiles(multihost_run, "gspmd_staged")
+    np.testing.assert_array_equal(img, want)
