@@ -32,12 +32,13 @@ ROUND1_BASELINE_RAYS_PER_S = 0.858e6
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="1920x1080")
-    # 16 frames: the pipelined batch amortizes the fixed ~30 ms tunnel
+    # 32 frames: the pipelined batch amortizes the fixed ~26-33 ms tunnel
     # round-trip of the final drain (a real turntable renders 360 frames
     # back-to-back); per-frame device time is ~50 ms, so the batch still
-    # finishes in ~a second. (8 frames left ~4% of RTT in the per-frame
-    # number and round-to-round jitter of the same order.)
-    ap.add_argument("--frames", type=int, default=16)
+    # finishes in ~1.6 s. (16 frames left ~2 ms/frame of RTT drift in the
+    # headline — round-over-round tunnel weather of the same order as real
+    # deltas; 32 halves it. The suite shares the same batch size.)
+    ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--model", default="/root/reference/neuralGeometries/plane_1.h5")
     ap.add_argument("--no-roofline", action="store_true",
@@ -180,7 +181,10 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         @scenario(f"{scene}_rays_per_s")
         def _(scene=scene):
             cfg = config.replace(scene=scene)
-            frames = [float(i * 40) for i in range(n_frames)]
+            # animation frames wrap at 360 (the turntable's full cycle —
+            # extrapolating the frame counter past it moves the animated
+            # CSG scenes outside their designed range)
+            frames = [float((i * 40) % 360) for i in range(n_frames)]
             dt = _time_frames(
                 lambda: sync(cnr.render_sequence(
                     params, cameras, cfg, frames=frames)),
@@ -239,6 +243,10 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         step()  # populate stats + compile the pipelined variant
         dt = _time_frames(step, 1, reps=3)
         out["grad_step_mrays_per_s"] = round(n_rays / dt / 1e6, 2)
+        # NOTE: the single-step number above carries one full tunnel RTT
+        # per step by design (the sync IS part of a lone step) and swings
+        # ±15 ms with tunnel weather; grad_loop_step_ms below is the
+        # tracked production-training number.
 
         # Pipelined multi-step training (train.train_loop_fast): checks
         # deferred one step so the per-step tunnel RTT overlaps the next
