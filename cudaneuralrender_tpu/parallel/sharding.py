@@ -153,7 +153,10 @@ def pixel_train_step_sharded(
     frame = jnp.zeros((), jnp.float32)
 
     def tile_sse(params, origin, dirs, tgt, world_to_cam, frame, t0, hit0):
-        f = scene_fn(params, config, frame)
+        # f is consumed only at the surface (implicit reattachment at t*,
+        # shading normals) -> surface-local composes apply; the march below
+        # uses its own full-compose, gradient-severed f_sg.
+        f = scene_fn(params, config, frame, surface_local=True)
         if t0 is None:
             params_sg = jax.lax.stop_gradient(params)
             f_sg = scene_fn(params_sg, config, jax.lax.stop_gradient(frame))
