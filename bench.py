@@ -138,13 +138,14 @@ def _time_frames(render_fn, n_frames: int, reps: int = 2) -> float:
 
 def _suite(params, config, cameras, w: int, h: int) -> dict:
     """Extended tracked surface. METHODOLOGY: every scenario times the SAME
-    protocol as the headline — the full 16-camera pipelined batch (ONE drain
-    sync), min over 2 reps — so suite-vs-headline ratios and round-over-round
-    suite deltas are directly comparable (round-3 VERDICT item 7; 4-frame
-    batches biased suite Mrays/s low by ~6 ms/frame of amortized tunnel
-    RTT). The multigeom scenario pipelines the 5-geometry group 3x (15
-    programs per drain); the grad step keeps its honest per-step cost (one
-    host sync per step is part of the production training loop)."""
+    protocol as the headline — the full --frames-camera pipelined batch
+    (default 32, ONE drain sync), min over 2 reps — so suite-vs-headline
+    ratios and round-over-round suite deltas are directly comparable
+    (round-3 VERDICT item 7; 4-frame batches biased suite Mrays/s low by
+    ~6 ms/frame of amortized tunnel RTT). The multigeom scenario pipelines
+    the 5-geometry group 3x (15 programs per drain); the grad scenario
+    reports the single-step cost (inherently one sync per step) AND the
+    marginal pipelined-loop step (grad_loop_step_ms — the tracked number)."""
     import jax.numpy as jnp
 
     import cudaneuralrender_tpu as cnr
@@ -250,18 +251,18 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
 
         # Pipelined multi-step training (train.train_loop_fast): checks
         # deferred one step so the per-step tunnel RTT overlaps the next
-        # step's device work — the production training-loop mode, measured
-        # with the same amortized protocol as the rendering scenarios.
-        def loop8():
-            train.train_loop_fast(state, [cameras[0]] * 9, target, config,
-                                  1e-3)
-
-        loop8()
+        # step's device work — the production training-loop mode. The
+        # reported number is the marginal pipelined step: (17-step loop -
+        # 1-step loop) / 16, which cancels the synchronous seed step (and
+        # its RTT weather) that both runs share.
+        train.train_loop_fast(state, [cameras[0]] * 3, target, config, 1e-3)
         t0 = time.perf_counter()
-        train.train_loop_fast(state, [cameras[0]] * 9, target, config, 1e-3)
-        # first (seed) step is synchronous; amortize over the 8 pipelined
+        train.train_loop_fast(state, [cameras[0]] * 1, target, config, 1e-3)
+        t_seed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        train.train_loop_fast(state, [cameras[0]] * 17, target, config, 1e-3)
         out["grad_loop_step_ms"] = round(
-            (time.perf_counter() - t0) / 9 * 1e3, 1)
+            (time.perf_counter() - t0 - t_seed) / 16 * 1e3, 1)
         return round(dt * 1e3, 1)
 
     return out

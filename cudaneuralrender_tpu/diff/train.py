@@ -210,6 +210,10 @@ def train_loop_fast(
         cameras = list(cameras) * n_steps
     if len(targets) == 1:
         targets = list(targets) * n_steps
+    if len(cameras) != n_steps or len(targets) != n_steps:
+        raise ValueError(
+            f"cameras ({len(cameras)}) and targets ({len(targets)}) must "
+            "have equal length (or be single/broadcastable)")
 
     import numpy as np
 
@@ -258,24 +262,36 @@ def train_loop_fast(
             jj, prev_s, new_s, fused, check = inflight.pop(0)
             vals = np.asarray(fused)
             st: dict = {}
-            ok = check(stats_out=st, values=vals[:4]) and st["hits"] <= cap
-            if stats_out is not None:
-                stats_out.append(st)
+            solve_ok = check(stats_out=st, values=vals[:4])
+            ok = solve_ok and st["hits"] <= cap
             if not ok:
-                # Redo step jj synchronously from the last good state; the
-                # dispatched continuation (jj+1..) used a bad step and is
-                # discarded.
-                redo_stats: dict = dict(hits=st.get("hits"))
+                # Redo step jj from the last good state; the dispatched
+                # continuation (jj+1..) used a bad step and is discarded.
+                # When only the grad bucket undershot (solve itself fine),
+                # keep the hits hint so the redo re-dispatches just the
+                # solve+grad pair with the right cap; on a solve failure
+                # (refine overflow / starvation) drop the hint — the
+                # pipelined re-attempt would rerun the identical failing
+                # solve before falling back.
+                redo_stats: dict = (
+                    dict(hits=st.get("hits")) if solve_ok else {}
+                )
                 state, loss = pixel_train_step_fast(
                     prev_s, cameras[jj], targets[jj], config, lr,
                     stats_out=redo_stats,
                 )
                 losses_out.append(float(loss))
+                if stats_out is not None:
+                    # record the stats of the step that PRODUCED this loss
+                    # (the redo), not the discarded attempt
+                    stats_out.append(dict(redo_stats, redone=True))
                 cap = compaction.capacity_pow2_of(
                     redo_stats.get("hits", n), n, minimum=config.compact_min
                 )
                 failed_at = jj
                 break
+            if stats_out is not None:
+                stats_out.append(st)
             losses_out.append(float(vals[4]))
             state = new_s
         k = failed_at + 1 if failed_at is not None else n_steps

@@ -126,7 +126,11 @@ def load(path: str, *, dtype=jnp.float32) -> MLPParams:
         params = load_pytree(path, dtype=dtype)
     else:
         raise ValueError(f"unknown checkpoint format: {path}")
-    _memo.tag_geometry(params, os.path.basename(path))
+    # Absolute path, not basename: two different models named model.h5 in
+    # different directories must not share one memo slot (a widened
+    # schedule learned for one would silently slow the other, and the
+    # overflow retry never corrects too-wide schedules).
+    _memo.tag_geometry(params, os.path.abspath(path))
     return params
 
 

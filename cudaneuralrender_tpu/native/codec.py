@@ -42,14 +42,31 @@ def _try_build() -> bool:
     return os.path.exists(_SO_PATH)
 
 
+def _stale() -> bool:
+    """True when the built library predates the C++ source (a stale .so —
+    e.g. restored from a cache — must be rebuilt, or Python and C++
+    behavior silently diverge)."""
+    src = os.path.join(_NATIVE_DIR, "cnr_native.cpp")
+    try:
+        return os.path.getmtime(_SO_PATH) < os.path.getmtime(src)
+    except OSError:
+        return False
+
+
 def _load():
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _try_build():
+        if (not os.path.exists(_SO_PATH) or _stale()) and not _try_build():
+            if not os.path.exists(_SO_PATH):
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            # wrong-architecture or corrupt binary: degrade to the PIL
+            # fallback instead of raising out of available()
             return None
-        lib = ctypes.CDLL(_SO_PATH)
         lib.cnr_encode_png.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_int,

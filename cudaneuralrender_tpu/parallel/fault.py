@@ -102,59 +102,35 @@ def _render_band_staged(
     params, camera: Camera, config: RenderConfig, matcap, frame,
     band: jax.Array, n_bands: int,
 ):
-    """One band through the STAGED fast path (coarse megakernel + ladder +
-    compacted shading on the band's rays only — renderer._scheduled_march
-    with an external index set). Returns ([rows, W, 4], stats [4]); the
+    """One band through the STAGED fast path — the shared subset body
+    (parallel.sharding.staged_subset) on the band's global indices in
+    band-local block-major order. Returns ([rows, W, 4], stats [5]); the
     caller host-checks the stats and falls back to the exact dense band on
     the rare slow path. band is traced — all bands share ONE program.
     """
     from ..render import renderer as renderer_lib
+    from .sharding import staged_subset
 
     if config.height % n_bands:
         raise ValueError(f"height {config.height} not divisible by {n_bands} bands")
     rows = config.height // n_bands
     n_local = rows * config.width
     cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
-    origin = cam_to_world[:, 3]
-    # Band-local block-major lane order (megakernel tile locality), offset
-    # to the band's global rows; downstream only ever sees the carried
-    # global index.
     perm = jnp.asarray(renderer_lib._block_order_np(
         rows, config.width,
         *(config.coarse_block or (rows, config.width))
     ))
     pos = band * jnp.int32(n_local) + perm
-    dirs = camera_lib.ray_dirs_from_index(
-        cam_to_world, pos, config.height, config.width, config.focal
+    rgba, stats5 = staged_subset(
+        params, pos, cam_to_world, world_to_cam, config, matcap, frame,
     )
-    pr, steps, _within, ovf = renderer_lib._scheduled_march.__wrapped__(
-        params, cam_to_world, origin, dirs, config, frame, None, pos
-    )
-    conv_within = renderer_lib._conv_within(config, n_local)
-    rgba, pr, hit_count = renderer_lib._shade_packed(
-        params, origin, cam_to_world, pr, steps, world_to_cam, config,
-        matcap, frame, within=conv_within, flat=True,
-    )
-    stats = jnp.stack(
-        [
-            jnp.sum(pr.active.astype(jnp.int32)),
-            jnp.asarray(steps, jnp.int32),
-            hit_count,
-            jnp.asarray(ovf, jnp.int32),
-        ]
-    )
-    return rgba.reshape(rows, config.width, 4), stats
+    return rgba.reshape(rows, config.width, 4), jnp.stack(stats5)
 
 
-def _band_fast(stats, config: RenderConfig, n_local: int) -> bool:
-    from ..render import renderer as renderer_lib
+def _band_fast(stats, config: RenderConfig) -> bool:
+    from .sharding import _sharded_fast
 
-    active, steps, hits, ovf = (int(v) for v in np.asarray(stats))
-    if not renderer_lib.schedule_ok(active, steps, ovf, config):
-        return False
-    cap = renderer_lib._shade_capacity(
-        config, n_local, renderer_lib._conv_within(config, n_local))
-    return cap >= n_local or hits <= cap
+    return _sharded_fast(stats, config)
 
 
 def render_band_auto(
@@ -168,8 +144,7 @@ def render_band_auto(
             params, camera, config, matcap, frame,
             jnp.asarray(band, jnp.int32), n_bands,
         )
-        n_local = (config.height // n_bands) * config.width
-        if _band_fast(stats, config, n_local):
+        if _band_fast(stats, config):
             return np.asarray(rgba)
         # Overflow/slow path: the single-device widen machinery is per-frame;
         # bands are small and rare to overflow — finish exactly, densely.

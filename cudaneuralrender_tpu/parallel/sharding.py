@@ -264,6 +264,57 @@ def _assemble(flat: jax.Array, h: int, w: int, n_shards: int) -> jax.Array:
     return jnp.swapaxes(x, 0, 1).reshape((h * w,) + tail)
 
 
+def staged_subset(params, pos, cam_to_world, world_to_cam, config: RenderConfig,
+                  matcap, frame, solve_only: bool = False):
+    """Run the COMPLETE staged pipeline on an arbitrary GLOBAL-index lane
+    subset — the single body shared by the shard_map program
+    (_staged_sharded_program) and the per-band path (fault._render_band_staged),
+    so the subset protocol cannot drift between them.
+
+    ``pos`` [n_local] int32 carries each lane's global pixel index in the
+    caller's preferred order (block-major for kernel tile locality); all
+    downstream stages recompute directions/budget from it. Returns
+    (out, stats5) where out = rgba [n_local, 4] in pos-ascending order (or
+    (t, hit) with ``solve_only``) and stats5 = (active, steps, hits,
+    refine_overflow, shade_excess) local int32 scalars.
+    """
+    n_local = pos.shape[0]
+    origin = cam_to_world[:, 3]
+    dirs = camera_lib.ray_dirs_from_index(
+        cam_to_world, pos, config.height, config.width, config.focal
+    )
+    pr, steps, _within, ovf = renderer_lib._scheduled_march.__wrapped__(
+        params, cam_to_world, origin, dirs, config, frame, None, pos
+    )
+    conv_within = renderer_lib._conv_within(config, n_local)
+    if solve_only:
+        from ..ops import compaction
+
+        t, hit = compaction.sort_restore_leaves(pr.pos, (pr.t, pr.converged))
+        out = (t, hit)
+        hit_count = jnp.sum(pr.converged.astype(jnp.int32))
+        shade_excess = jnp.zeros((), jnp.int32)
+    else:
+        out, pr, hit_count = renderer_lib._shade_packed(
+            params, origin, cam_to_world, pr, steps, world_to_cam,
+            config, matcap, frame, within=conv_within, flat=True,
+        )
+        shade_cap = renderer_lib._shade_capacity(config, n_local, conv_within)
+        shade_excess = (
+            jnp.zeros((), jnp.int32)
+            if shade_cap >= n_local
+            else jnp.maximum(hit_count - shade_cap, 0)
+        )
+    stats5 = (
+        jnp.sum(pr.active.astype(jnp.int32)),
+        jnp.asarray(steps, jnp.int32),
+        jnp.asarray(hit_count, jnp.int32),
+        jnp.asarray(ovf, jnp.int32),
+        jnp.asarray(shade_excess, jnp.int32),
+    )
+    return out, stats5
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "mesh", "data_axis", "solve_only")
 )
@@ -305,42 +356,17 @@ def _staged_sharded_program(
     frame = jnp.asarray(frame, jnp.float32)
 
     def shard_body(params, pos, cam_to_world, world_to_cam, matcap, frame):
-        n_local = pos.shape[0]
-        origin = cam_to_world[:, 3]
-        dirs = camera_lib.ray_dirs_from_index(
-            cam_to_world, pos, config.height, config.width, config.focal
+        out, (active, steps, hits, ovf, shade_excess) = staged_subset(
+            params, pos, cam_to_world, world_to_cam, config, matcap, frame,
+            solve_only=solve_only,
         )
-        pr, steps, _within, ovf = renderer_lib._scheduled_march.__wrapped__(
-            params, cam_to_world, origin, dirs, config, frame, None, pos
-        )
-        conv_within = renderer_lib._conv_within(config, n_local)
-        if solve_only:
-            from ..ops import compaction
-
-            t, hit = compaction.sort_restore_leaves(pr.pos, (pr.t, pr.converged))
-            out = (t, hit)
-            hit_count = jnp.sum(pr.converged.astype(jnp.int32))
-            shade_excess = jnp.zeros((), jnp.int32)
-        else:
-            rgba, pr, hit_count = renderer_lib._shade_packed(
-                params, origin, cam_to_world, pr, steps, world_to_cam,
-                config, matcap, frame, within=conv_within, flat=True,
-            )
-            out = rgba
-            shade_cap = renderer_lib._shade_capacity(config, n_local, conv_within)
-            shade_excess = (
-                jnp.zeros((), jnp.int32)
-                if shade_cap >= n_local
-                else jnp.maximum(hit_count - shade_cap, 0)
-            )
-        active = jnp.sum(pr.active.astype(jnp.int32))
         stats = jnp.stack(
             [
                 jax.lax.psum(active, data_axis),
-                jax.lax.pmax(jnp.asarray(steps, jnp.int32), data_axis),
-                jax.lax.psum(hit_count, data_axis),
-                jax.lax.pmax(jnp.asarray(ovf, jnp.int32), data_axis),
-                jax.lax.pmax(jnp.asarray(shade_excess, jnp.int32), data_axis),
+                jax.lax.pmax(steps, data_axis),
+                jax.lax.psum(hits, data_axis),
+                jax.lax.pmax(ovf, data_axis),
+                jax.lax.pmax(shade_excess, data_axis),
             ]
         )
         return out, stats
