@@ -233,12 +233,17 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         # and recompiles mid-run).
         target = jnp.asarray(np.asarray(cnr.render_staged(
             params, cnr.Camera(rotation_y=26.0, rotation_x=10.0), config)))
-        state = train.init_train_state(params, 1e-3)
+        # lr=1e-4: stable near-converged training. Throughput is
+        # lr-independent, but an aggressive lr drifts the geometry until
+        # the hit count crosses the pow2 grad-bucket boundary mid-loop,
+        # which costs a redo + recompile (correct, measured, and exactly
+        # what this benchmark must not randomly include).
+        state = train.init_train_state(params, 1e-4)
         st: dict = {}
 
         def step():
             s, loss = train.pixel_train_step_fast(
-                state, cameras[0], target, config, 1e-3, stats_out=st)
+                state, cameras[0], target, config, 1e-4, stats_out=st)
             float(loss)
 
         step()  # populate stats + compile the pipelined variant
@@ -255,12 +260,12 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         # reported number is the marginal pipelined step: (17-step loop -
         # 1-step loop) / 16, which cancels the synchronous seed step (and
         # its RTT weather) that both runs share.
-        train.train_loop_fast(state, [cameras[0]] * 3, target, config, 1e-3)
+        train.train_loop_fast(state, [cameras[0]] * 3, target, config, 1e-4)
         t0 = time.perf_counter()
-        train.train_loop_fast(state, [cameras[0]] * 1, target, config, 1e-3)
+        train.train_loop_fast(state, [cameras[0]] * 1, target, config, 1e-4)
         t_seed = time.perf_counter() - t0
         t0 = time.perf_counter()
-        train.train_loop_fast(state, [cameras[0]] * 17, target, config, 1e-3)
+        train.train_loop_fast(state, [cameras[0]] * 17, target, config, 1e-4)
         out["grad_loop_step_ms"] = round(
             (time.perf_counter() - t0 - t_seed) / 16 * 1e3, 1)
         return round(dt * 1e3, 1)
