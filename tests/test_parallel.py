@@ -258,3 +258,28 @@ def test_solve_surface_sharded_matches(eight_devices, plane1_params):
     fast_state, fast_loss = pixel_train_step_sharded(
         s0, cam, target, cfg, m, t_star=t_sh, hit=hit_sh)
     assert np.isfinite(float(fast_loss))
+
+
+def test_staged_sharded_animation_mode(eight_devices):
+    """Animation mode (num_inputs=4: the frame number is the 4th MLP
+    input, requiring a 4-input network) through the sharded staged path —
+    the frame column and the per-shard subset body must agree with
+    single-device."""
+    from cudaneuralrender_tpu.parallel.sharding import (
+        render_image_sharded_staged,
+    )
+
+    params = mlp.init_mlp(jax.random.key(5), sizes=(4, 32, 32, 1))
+    cfg = cnr.RenderConfig(
+        width=32, height=32, scene="neural_raw", max_steps=200,
+        march_impl="staged", num_inputs=4,
+        coarse_pallas=False, refine_pallas=False,
+    )
+    m = mesh_lib.make_mesh((8,), ("data",), eight_devices)
+    cam = cnr.Camera(rotation_y=25.0)
+    for frame in (0.0, 120.0):
+        sharded = np.asarray(render_image_sharded_staged(
+            params, cam, cfg, m, frame=frame))
+        single = np.asarray(cnr.render_staged(
+            params, cam, cfg, frame=frame))
+        np.testing.assert_array_equal(sharded, single)
