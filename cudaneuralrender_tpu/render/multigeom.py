@@ -67,6 +67,7 @@ def render_batch_staged(
     config: RenderConfig,
     matcap: Optional[jax.Array] = None,
     frame: jax.Array | float = 0.0,
+    devices: Optional[Sequence] = None,
 ) -> List[jax.Array]:
     """Render every geometry through the FAST staged path, pipelined.
 
@@ -78,6 +79,14 @@ def render_batch_staged(
     megakernel path dominates: vmapping was only a win when the dense march
     under-utilized the chip. render_batch remains the EP-shardable form
     (stacked axis over the ``model`` mesh axis, parallel/sharding.py).
+    ``devices``: optional device list for EXPERT PARALLELISM — geometry i
+    is committed to devices[i % len(devices)], and because jit runs each
+    program where its arguments live, the per-geometry staged pipelines
+    execute CONCURRENTLY across chips (geometries are the experts,
+    SURVEY.md §2.4 EP row) with zero cross-device traffic; the single
+    drain sync collects every chip's stats at once. Omit for the
+    single-device pipelined mode.
+
     Returns a list of [H, W, 4] device arrays.
     """
     from .renderer import (
@@ -85,6 +94,11 @@ def render_batch_staged(
         render_staged,
     )
 
+    if devices:
+        params_list = [
+            jax.device_put(p, devices[i % len(devices)])
+            for i, p in enumerate(params_list)
+        ]
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
     # Per-geometry memo lookup: geometries that previously overflowed the
@@ -95,7 +109,12 @@ def render_batch_staged(
         _render_scheduled(p, camera, cfg, matcap, frame)
         for p, cfg in zip(params_list, cfgs)
     ]
-    all_stats = jnp.stack([s for _, _, s in queued])
+    # Stats may live on different devices in EP mode — hop them to one
+    # device (tiny async copies) so a single fetch drains every chip.
+    home = jax.devices()[0]
+    all_stats = jnp.stack(
+        [jax.device_put(s, home) for _, _, s in queued]
+    )
     import numpy as np
 
     stats = np.asarray(all_stats)  # ONE sync drains every frame

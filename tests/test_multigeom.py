@@ -66,3 +66,30 @@ def test_contact_sheet(all_geometries):
     batch = multigeom.render_batch(stacked, cnr.Camera(), CFG)
     sheet = np.asarray(multigeom.contact_sheet(batch, cols=2))
     assert sheet.shape == (64, 64, 4)
+
+
+def test_render_batch_staged_expert_parallel(plane1_params):
+    """EP mode: geometries committed round-robin across the 8-device mesh
+    must produce the same frames as the single-device pipelined mode (jit
+    runs each staged program where its params live)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs multiple virtual devices")
+    from cudaneuralrender_tpu.models import mlp as mlp_lib
+    from cudaneuralrender_tpu.render import multigeom
+
+    geoms = [plane1_params] + [
+        mlp_lib.init_mlp(jax.random.key(i)) for i in (1, 2)
+    ]
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=200, march_impl="staged",
+                           coarse_pallas=False, refine_pallas=False)
+    cam = cnr.Camera(rotation_y=20.0)
+    base = multigeom.render_batch_staged(geoms, cam, cfg)
+    ep = multigeom.render_batch_staged(
+        geoms, cam, cfg, devices=jax.devices()[:4])
+    for a, b in zip(base, ep):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
