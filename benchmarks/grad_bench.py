@@ -12,6 +12,13 @@ Two step implementations:
     (diff/solve.py::solve_surface), then the jitted grad step touches each
     ray exactly twice. The 1080p number recorded in docs/ARCHITECTURE.md.
 
+The PHASE BREAKDOWN of the fast step (solve / packed sort / implicit-t
+grad / shading-normal variants / cap sensitivity / grad-parity of the
+HIGH shade chain) lives in benchmarks/exp_grad.py — the measurements
+behind config.grad_shade_precision and the pipelined train_loop_fast
+(round-4 VERDICT item 6); bench.py's grad_loop_step_ms tracks the
+production pipelined-loop step.
+
 Usage: python benchmarks/grad_bench.py [--res 128] [--fast] [--iters 5]
 """
 from __future__ import annotations
