@@ -1202,8 +1202,11 @@ def render_staged(
     config = memo_lookup(params, config)
 
     rgba, pr, stats = _render_scheduled(params, camera, config, matcap, frame)
+    stats = np.asarray(stats)  # ONE fetch; every scalar below reads host
+    # memory (int() on a device array element costs a full tunnel round
+    # trip EACH — four of them measured +112 ms/frame)
     active_count, steps_done, hit_count, refine_overflow = (
-        int(v) for v in np.asarray(stats)
+        int(v) for v in stats
     )
     if stats_out is not None:
         # Per-frame observability (SURVEY.md §5 metrics row): everything the
