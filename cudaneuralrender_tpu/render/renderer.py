@@ -1164,6 +1164,8 @@ def check_fast(stats, config: RenderConfig) -> bool:
     """True iff a staged render's stats vector [active, steps, hits,
     refine_overflow] certifies the pipelined frame as final (march final AND
     the shading bucket held every hit)."""
+    stats = np.asarray(stats)  # defensive single fetch: per-element int()
+    # on a device array would cost one tunnel round trip EACH
     active_count, steps_done, hit_count, refine_overflow = (
         int(v) for v in stats
     )
