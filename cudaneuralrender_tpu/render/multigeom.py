@@ -94,11 +94,29 @@ def render_batch_staged(
         render_staged,
     )
 
+    matcaps = [matcap] * len(params_list)
     if devices:
-        params_list = [
-            jax.device_put(p, devices[i % len(devices)])
-            for i, p in enumerate(params_list)
-        ]
+        from ..utils import memo as _memo_store
+
+        placed = []
+        for i, p in enumerate(params_list):
+            dev = devices[i % len(devices)]
+            q = jax.device_put(p, dev)
+            # device_put makes fresh arrays — carry the geometry tag over
+            # so the per-geometry schedule memo (and its persistent store)
+            # keeps working in EP mode.
+            tag = _memo_store.geom_tag(p)
+            if tag is not None:
+                _memo_store.tag_geometry(q, tag)
+            placed.append(q)
+        params_list = placed
+        if matcap is not None:
+            # A committed matcap on one device would clash with params
+            # committed elsewhere — give each geometry a resident copy.
+            matcaps = [
+                jax.device_put(matcap, devices[i % len(devices)])
+                for i in range(len(params_list))
+            ]
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
     # Per-geometry memo lookup: geometries that previously overflowed the
@@ -106,8 +124,8 @@ def render_batch_staged(
     # base config — the memo is keyed on geometry identity).
     cfgs = [memo_lookup(p, config) for p in params_list]
     queued = [
-        _render_scheduled(p, camera, cfg, matcap, frame)
-        for p, cfg in zip(params_list, cfgs)
+        _render_scheduled(p, camera, cfg, mc, frame)
+        for p, cfg, mc in zip(params_list, cfgs, matcaps)
     ]
     # Stats may live on different devices in EP mode — hop them to one
     # device (tiny async copies) so a single fetch drains every chip.
@@ -120,7 +138,8 @@ def render_batch_staged(
     stats = np.asarray(all_stats)  # ONE sync drains every frame
 
     out = []
-    for (rgba, _, _), st, p, cfg in zip(queued, stats, params_list, cfgs):
+    for (rgba, _, _), st, p, cfg, mc in zip(queued, stats, params_list, cfgs,
+                                            matcaps):
         ovf = int(st[3])
         if check_fast(st, cfg):
             out.append(rgba)
@@ -131,10 +150,10 @@ def render_batch_staged(
             # of re-rendering the base schedule just to rediscover it, and
             # teach the per-geometry memo for the next call.
             widened = _widen(cfg)
-            out.append(render_staged(p, camera, widened, matcap, frame))
+            out.append(render_staged(p, camera, widened, mc, frame))
             memo_teach(p, orig_config, widened)
         else:
-            out.append(render_staged(p, camera, cfg, matcap, frame))
+            out.append(render_staged(p, camera, cfg, mc, frame))
     return out
 
 

@@ -72,11 +72,7 @@ def test_render_batch_staged_expert_parallel(plane1_params):
     """EP mode: geometries committed round-robin across the 8-device mesh
     must produce the same frames as the single-device pipelined mode (jit
     runs each staged program where its params live)."""
-    import jax
-
     if len(jax.devices()) < 4:
-        import pytest
-
         pytest.skip("needs multiple virtual devices")
     from cudaneuralrender_tpu.models import mlp as mlp_lib
     from cudaneuralrender_tpu.render import multigeom
