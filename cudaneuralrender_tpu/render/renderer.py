@@ -1457,6 +1457,9 @@ class Renderer:
         #: per-frame render statistics of the most recent ``render`` call
         #: (staged path only; see render_staged stats_out).
         self.last_stats: dict = {}
+        #: deferred fast-path check of the previous optimistic frame
+        #: (render_interactive).
+        self._pending_check = None
 
     def render(self, camera: Camera, frame: float = 0.0) -> jax.Array:
         """Render to [H, W, 4] float rgba (device array)."""
@@ -1474,9 +1477,45 @@ class Renderer:
             )
         return render_image(self.params, camera, self.config, self.matcap, frame)
 
+    def render_interactive(self, camera: Camera, frame: float = 0.0) -> jax.Array:
+        """Optimistic staged frame for LIVE viewing: the fast-path stats
+        check is deferred to the next call, so each frame costs one host
+        sync (the pixel fetch) instead of two — the interactive analogue of
+        render_sequence's pipelining, for the viewer's request-at-a-time
+        loop. The deferred check's tiny fetch overlaps the new frame's
+        device work. A rare overflow frame may show silhouette gaps for ONE
+        displayed frame; the check then teaches the widened schedule and
+        subsequent frames dispatch it. Never used for saved output
+        (render/save paths keep the synchronous check). Falls back to
+        ``render`` for non-staged configs."""
+        if self.config.march_impl != "staged":
+            return self.render(camera, frame)
+        config = memo_lookup(self.params, self.config)
+        rgba, _, stats = _render_scheduled(
+            self.params, camera, config, self.matcap,
+            jnp.asarray(frame, jnp.float32),
+        )
+        if self._pending_check is not None:
+            prev_stats, prev_cfg = self._pending_check
+            st = np.asarray(prev_stats)  # overlaps the new frame's device work
+            self.last_stats = dict(
+                steps=int(st[1]), hits=int(st[2]), unresolved=int(st[0]),
+                refine_overflow=int(st[3]), fast_path=check_fast(st, prev_cfg),
+            )
+            if int(st[3]) > 0:
+                memo_teach(self.params, self.config, _widen(prev_cfg))
+        self._pending_check = (stats, config)
+        return rgba
+
     def render_frame(self, camera: Camera, frame: float = 0.0, *, parity_flip: bool = False) -> np.ndarray:
         """Render to a host uint8 [H, W, 4] image (top-down rows)."""
         rgba = self.render(camera, frame)
+        return image_io.to_uint8_image(np.asarray(rgba), parity_flip=parity_flip)
+
+    def render_frame_interactive(self, camera: Camera, frame: float = 0.0,
+                                 *, parity_flip: bool = False) -> np.ndarray:
+        """Host uint8 frame through the optimistic interactive path."""
+        rgba = self.render_interactive(camera, frame)
         return image_io.to_uint8_image(np.asarray(rgba), parity_flip=parity_flip)
 
     def save_frame(self, path: str, camera: Camera, frame: float = 0.0) -> None:

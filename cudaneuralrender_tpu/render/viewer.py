@@ -107,7 +107,7 @@ def make_server(renderer, camera: Camera = None, *, port: int = 8000,
         def log_message(self, *a):  # quiet
             pass
 
-        def _render(self, q):
+        def _render(self, q, interactive: bool = False):
             cam = Camera.from_cli(
                 rx=float(q.get("rx", [init_rx])[0]),
                 ry=float(q.get("ry", [init_ry])[0]),
@@ -117,6 +117,10 @@ def make_server(renderer, camera: Camera = None, *, port: int = 8000,
             )
             frame = float(q.get("frame", [0])[0])
             with lock:
+                if interactive and hasattr(renderer, "render_frame_interactive"):
+                    # live frames ride the optimistic deferred-check path
+                    # (one host sync per frame; Renderer.render_interactive)
+                    return renderer.render_frame_interactive(cam, frame)
                 return renderer.render_frame(cam, frame)
 
         def do_GET(self):
@@ -137,7 +141,7 @@ def make_server(renderer, camera: Camera = None, *, port: int = 8000,
                 self.end_headers()
                 self.wfile.write(body)
             elif url.path == "/frame":
-                img = self._render(q)
+                img = self._render(q, interactive=True)
                 buf = io.BytesIO()
                 from PIL import Image
 

@@ -69,3 +69,32 @@ def test_page_has_playback_and_fps(server):
     assert "playing=!playing" in page.replace(" ", "")
     assert "fps" in page
     assert "/camera?" in page
+
+
+def test_render_interactive_matches_sync(plane1_params):
+    """The optimistic interactive path must produce the same pixels as the
+    synchronous render on fast-path frames, and its deferred check must
+    teach the schedule memo after an overflow frame."""
+    import cudaneuralrender_tpu as cnr
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    cnr.reset_schedule_memo()
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=300, march_impl="staged",
+                           coarse_pallas=False, refine_pallas=False)
+    r = cnr.Renderer(plane1_params, cfg)
+    cams = [cnr.Camera(rotation_y=20.0 + i) for i in range(3)]
+    for cam in cams:
+        a = np.asarray(r.render_interactive(cam))
+        b = np.asarray(cnr.render_staged(plane1_params, cam, cfg))
+        np.testing.assert_array_equal(a, b)
+
+    # overflow config: frame N shows the (possibly degraded) optimistic
+    # image; by frame N+2 the deferred check has taught the widened
+    # schedule and the memo redirects
+    tiny = cfg.replace(refine_schedule=((1024, 4), (1024, 0)), compact_min=8)
+    r2 = cnr.Renderer(plane1_params, tiny)
+    r2.render_interactive(cams[0])
+    r2.render_interactive(cams[1])  # validates frame 0, teaches memo
+    assert renderer_lib.memo_lookup(plane1_params, tiny) != tiny
+    cnr.reset_schedule_memo()
