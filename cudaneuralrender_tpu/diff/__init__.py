@@ -18,6 +18,7 @@ from .train import (
     pixel_train_step,
     pixel_train_step_fast,
     sdf_train_step,
+    train_loop_fast,
 )
 
 __all__ = [
@@ -38,4 +39,5 @@ __all__ = [
     "silhouette_loss",
     "solve_surface",
     "solve_surface_async",
+    "train_loop_fast",
 ]

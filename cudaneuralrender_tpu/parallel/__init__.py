@@ -7,7 +7,12 @@ from . import fault, mesh, multihost, sharding
 from .fault import FaultInjector, render_tiled
 from .mesh import data_sharding, make_mesh, replicated, tp_mlp_shardings
 from .multihost import global_mesh, render_global
-from .sharding import pixel_train_step_sharded, render_image_sharded
+from .sharding import (
+    pixel_train_step_sharded,
+    render_image_sharded,
+    render_image_sharded_staged,
+    solve_surface_sharded,
+)
 
 __all__ = [
     "FaultInjector",
@@ -19,8 +24,10 @@ __all__ = [
     "multihost",
     "render_global",
     "render_image_sharded",
+    "render_image_sharded_staged",
     "render_tiled",
     "replicated",
     "sharding",
+    "solve_surface_sharded",
     "tp_mlp_shardings",
 ]
