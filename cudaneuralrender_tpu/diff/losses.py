@@ -128,6 +128,82 @@ def _pixel_loss_compact(
     return (fg + bg) / tgt.size
 
 
+def pixel_loss_packed(
+    params,
+    camera,
+    config,
+    target,
+    pos,
+    t_packed,
+    conv,
+    cap: int,
+    within: Optional[int] = None,
+    matcap: Optional[jax.Array] = None,
+    frame: jax.Array | float = 0.0,
+) -> jax.Array:
+    """_pixel_loss_compact consuming the solve's PACKED bundle directly
+    (diff/solve.solve_surface_packed_async) — the two big sorts cancel:
+    the solve skips its 2M-lane image-order restore, and the hit pack here
+    sorts only the first ``within`` lanes (renderer._conv_within — the
+    mixed path's invariant that every converged lane lives in the first
+    refine bucket), with target rows gathered by the carried pixel index
+    (a cap-sized gather instead of four 2M-lane sort payloads).
+
+    The loss VALUE equals the dense formula up to summation order: the
+    background residual is total target energy minus the hit rows' energy
+    (misses render the constant 0), and hit ordering inside the bucket
+    follows the bundle's packed order rather than image order — gradient
+    semantics identical, float rounding differs at the ulp level.
+    """
+    from ..ops import compaction, shading
+    from ..render.renderer import _SHADE_PREC
+    from .implicit import implicit_surface_t
+
+    cam_to_world, world_to_cam = camera_lib.view_matrices(camera)
+    f = scene_fn(params, config, frame, surface_local=True)
+    f_shade = f
+    shade_prec = _SHADE_PREC[config.grad_shade_precision]
+    if shade_prec != jax.lax.Precision.HIGHEST:
+        f_shade = scene_fn(
+            params, config, frame, for_grad=True, precision=shade_prec,
+            surface_local=True,
+        )
+    pos = jax.lax.stop_gradient(pos)
+    t_packed = jax.lax.stop_gradient(t_packed)
+    conv = jax.lax.stop_gradient(conv)
+    tgt = target.reshape(-1, 4)
+    n = pos.shape[0]
+    w = within if (within is not None and within < n) else n
+    cap = min(cap, w)  # the bucket can never exceed the sorted prefix
+
+    pos_h, t_h = compaction.sort_pack_leaves(
+        conv[:w], (pos[:w], t_packed[:w])
+    )
+    pos_sub = pos_h[:cap]
+    t_sub = t_h[:cap]
+    origin = cam_to_world[:, 3]
+    d_sub = camera_lib.ray_dirs_from_index(
+        cam_to_world, pos_sub, config.height, config.width, config.focal
+    )
+    hit_count = jnp.sum(conv.astype(jnp.int32))
+    valid = jnp.arange(cap) < hit_count
+
+    t = implicit_surface_t(f, origin, d_sub, t_sub)
+    points = origin + d_sub * t[:, None]
+    colors = shading.shade(
+        f_shade, points, d_sub,
+        mode=config.shading, normal_mode=config.normal_mode,
+        normal_eps=config.normal_eps, world_to_cam=world_to_cam,
+        matcap=matcap,
+    )
+    tgt_sub = jnp.take(tgt, pos_sub, axis=0)  # [cap, 4] gather (cap-sized)
+    res_fg = jnp.where(valid[:, None], colors - tgt_sub, 0.0)
+    fg = jnp.sum(res_fg ** 2)
+    hit_energy = jnp.sum(jnp.where(valid[:, None], tgt_sub ** 2, 0.0))
+    bg = jnp.sum(tgt ** 2) - hit_energy
+    return (fg + bg) / tgt.size
+
+
 def silhouette_loss(
     params: MLPParams,
     camera: Camera,

@@ -214,3 +214,69 @@ def solve_surface(
         return _solve_dense(params, camera, config, frame)
 
     return t, hit
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_scheduled_packed(params, camera: Camera, config: RenderConfig, frame):
+    """Staged t*-solve returning the PACKED bundle (no restore sort).
+
+    The image-order restore (a 2M-lane sort) exists only for consumers that
+    index rays by pixel; the compacted grad program re-packs by hit anyway,
+    so handing it the packed (pos, t, converged) directly cancels BOTH
+    sorts (diff/losses._pixel_loss_compact_packed sorts only within the
+    first refine bucket, where every hit lives — renderer._conv_within).
+    Returns (pos, t, conv, stats).
+    """
+    cam_to_world, _ = camera_lib.view_matrices(camera)
+    origin, dirs = camera_lib.generate_rays(
+        cam_to_world, config.height, config.width, config.focal
+    )
+    pr, steps, _within, refine_overflow = renderer_lib._scheduled_march.__wrapped__(
+        params, cam_to_world, origin, dirs, config, frame
+    )
+    stats = jnp.stack(
+        [
+            jnp.sum(pr.active.astype(jnp.int32)),
+            steps,
+            jnp.sum(pr.converged.astype(jnp.int32)),
+            refine_overflow,
+        ]
+    )
+    return pr.pos, pr.t, pr.converged, stats
+
+
+def solve_surface_packed_async(
+    params,
+    camera: Camera,
+    config: RenderConfig,
+    frame: float = 0.0,
+):
+    """Packed-bundle twin of ``solve_surface_async`` for the compacted grad
+    program: returns (pos, t, conv, within, check) where ``within`` is the
+    static prefix bound containing every converged lane (None when the
+    bundle layout gives no bound — callers must then fall back to the
+    image-order path). Same deferred-check contract."""
+    from ..render.renderer import _conv_within, memo_lookup, schedule_ok
+
+    frame = jnp.asarray(frame, jnp.float32)
+    config = memo_lookup(params, config)
+    pos, t, conv, stats = _solve_scheduled_packed(params, camera, config, frame)
+    within = _conv_within(config)
+
+    def check(stats_out: Optional[dict] = None, values=None) -> bool:
+        if values is None:
+            values = np.asarray(stats)
+        active_count, steps_done, hit_count, refine_overflow = (
+            int(v) for v in values
+        )
+        ok = schedule_ok(active_count, steps_done, refine_overflow, config)
+        if stats_out is not None:
+            stats_out.update(
+                rays=config.num_rays, steps=steps_done, hits=hit_count,
+                unresolved=active_count, refine_overflow=refine_overflow,
+                fast_path=ok,
+            )
+        return ok
+
+    check.stats = stats
+    return pos, t, conv, within, check

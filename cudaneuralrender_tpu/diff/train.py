@@ -55,6 +55,33 @@ def pixel_train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "lr", "compact_cap", "within")
+)
+def _pixel_grad_step_packed(
+    state: TrainState,
+    camera: Camera,
+    target: jax.Array,
+    pos: jax.Array,
+    t_packed: jax.Array,
+    conv: jax.Array,
+    config: RenderConfig,
+    lr: float,
+    compact_cap: int,
+    within,
+) -> Tuple[TrainState, jax.Array]:
+    """Grad+update from the solve's PACKED bundle (losses.pixel_loss_packed)
+    — no image-order restore, no 2M-lane re-pack."""
+    loss, grads = jax.value_and_grad(losses.pixel_loss_packed)(
+        state.params, camera, config, target, pos, t_packed, conv,
+        compact_cap, within,
+    )
+    opt = make_optimizer(lr)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 @functools.partial(jax.jit, static_argnames=("config", "lr", "compact_cap"))
 def _pixel_grad_step_from_t(
     state: TrainState,
@@ -111,13 +138,57 @@ def pixel_train_step_fast(
     and redoes the step synchronously in the rare overflow/bucket-miss case.
     """
     from ..ops import compaction
-    from .solve import solve_surface_async
+    from ..render.renderer import _conv_within
+    from .solve import solve_surface_async, solve_surface_packed_async
 
     stats = stats_out if stats_out is not None else {}
     n = config.num_rays
     hint = stats.get("hits")
+    within = _conv_within(config)
 
-    if hint is not None:
+    if hint is not None and within is not None:
+        # Packed pipelined fast path (mixed precision: every hit lives in
+        # the first refine bucket): the solve skips its 2M restore sort and
+        # the grad program packs only the `within` prefix — both big sorts
+        # cancel (losses.pixel_loss_packed).
+        cap = compaction.capacity_pow2_of(
+            hint, n, minimum=config.compact_min
+        )
+        cap = min(cap, within)
+        pos, t_p, conv, w_bound, check = solve_surface_packed_async(
+            state.params, camera, config
+        )
+        if w_bound is not None:
+            new_state, loss = _pixel_grad_step_packed(
+                state, camera, target, pos, t_p, conv, config, lr,
+                cap, w_bound,
+            )
+            import numpy as np
+
+            fused = np.asarray(jnp.concatenate(
+                [check.stats.astype(jnp.float32), jnp.reshape(loss, (1,))]
+            ))
+            loss = jnp.float32(fused[4])
+            if check(stats_out=stats, values=fused[:4]):
+                if stats["hits"] <= cap:
+                    return new_state, loss
+                # bucket outgrown but the solve is fine: re-dispatch only
+                # the grad program. hits <= within always (the bundle
+                # invariant), so clamping to the prefix keeps it valid.
+                cap2 = min(
+                    compaction.capacity_pow2_of(
+                        stats["hits"], n, minimum=config.compact_min
+                    ),
+                    w_bound,
+                )
+                new_state, loss = _pixel_grad_step_packed(
+                    state, camera, target, pos, t_p, conv, config, lr,
+                    cap2, w_bound,
+                )
+                return new_state, loss
+            # solve failed: fall through to the synchronous redo below
+
+    elif hint is not None:
         # Pipelined: size the bucket from the previous step, dispatch
         # solve + grad back-to-back, check stats once at the end. The
         # stats vector and the loss ride ONE fused fetch — over the
@@ -199,8 +270,10 @@ def train_loop_fast(
     target is broadcast. Returns (final state, [loss floats]).
     """
     from ..ops import compaction
-    from .solve import solve_surface_async
+    from ..render.renderer import _conv_within
+    from .solve import solve_surface_async, solve_surface_packed_async
 
+    within = _conv_within(config)
     if isinstance(cameras, Camera):
         cameras = [cameras]
     if not isinstance(targets, (list, tuple)):
@@ -246,13 +319,23 @@ def train_loop_fast(
         failed_at = None
         while j < n_steps or inflight:
             while j < n_steps and len(inflight) < WINDOW:
-                t_star, hit, check = solve_surface_async(
-                    s.params, cameras[j], config
-                )
-                s2, loss = _pixel_grad_step_from_t(
-                    s, cameras[j], targets[j], t_star, hit, config, lr,
-                    cap if cap < n else None,
-                )
+                if within is not None:
+                    # packed handoff: solve restore + grad re-pack cancel
+                    pos, t_p, conv, w_bound, check = solve_surface_packed_async(
+                        s.params, cameras[j], config
+                    )
+                    s2, loss = _pixel_grad_step_packed(
+                        s, cameras[j], targets[j], pos, t_p, conv, config,
+                        lr, min(cap, within), w_bound,
+                    )
+                else:
+                    t_star, hit, check = solve_surface_async(
+                        s.params, cameras[j], config
+                    )
+                    s2, loss = _pixel_grad_step_from_t(
+                        s, cameras[j], targets[j], t_star, hit, config, lr,
+                        cap if cap < n else None,
+                    )
                 fused = jnp.concatenate(
                     [check.stats.astype(jnp.float32), jnp.reshape(loss, (1,))]
                 )

