@@ -7,8 +7,14 @@ staged-scheduler surface solve that makes the grad step run at inference-
 fast-path speed (``solve``).
 """
 from .implicit import implicit_surface_t, render_depth_diff, render_image_diff
-from .losses import eikonal_loss, pixel_loss, sdf_distillation_loss, silhouette_loss
-from .solve import solve_surface, solve_surface_async
+from .losses import (
+    eikonal_loss,
+    pixel_loss,
+    pixel_loss_packed,
+    sdf_distillation_loss,
+    silhouette_loss,
+)
+from .solve import solve_surface, solve_surface_async, solve_surface_packed_async
 from .train import (
     TrainState,
     fit_sdf,
@@ -30,6 +36,7 @@ __all__ = [
     "load_train_state",
     "save_train_state",
     "pixel_loss",
+    "pixel_loss_packed",
     "pixel_train_step",
     "pixel_train_step_fast",
     "render_depth_diff",
@@ -39,5 +46,6 @@ __all__ = [
     "silhouette_loss",
     "solve_surface",
     "solve_surface_async",
+    "solve_surface_packed_async",
     "train_loop_fast",
 ]
