@@ -40,14 +40,34 @@ from ..render import renderer as renderer_lib
 from ..utils.config import RenderConfig
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _solve_scheduled(params, camera: Camera, config: RenderConfig, frame):
-    """Staged-compaction t*-solve as ONE compiled program.
+def _make_check(stats, config: RenderConfig):
+    """Deferred fast-path check closure shared by the async solve variants:
+    fetches (or receives pre-fetched) the [4] stats vector, applies
+    renderer.schedule_ok, and reports into stats_out."""
+    from ..render.renderer import schedule_ok
 
-    Runs the inference path's full scheduled march (coarse megakernel +
-    precision ladder, renderer._scheduled_march), restores image order, and
-    returns (t [N], hit [N], stats [4]) — no shading, no color restore sort.
-    """
+    def check(stats_out: Optional[dict] = None, values=None) -> bool:
+        if values is None:
+            values = np.asarray(stats)
+        active_count, steps_done, hit_count, refine_overflow = (
+            int(v) for v in values
+        )
+        ok = schedule_ok(active_count, steps_done, refine_overflow, config)
+        if stats_out is not None:
+            stats_out.update(
+                rays=config.num_rays, steps=steps_done, hits=hit_count,
+                unresolved=active_count, refine_overflow=refine_overflow,
+                fast_path=ok,
+            )
+        return ok
+
+    check.stats = stats  # device array, for fused fetches
+    return check
+
+
+def _march_packed(params, camera: Camera, config: RenderConfig, frame):
+    """Shared scheduled-march body: ray gen + renderer._scheduled_march +
+    the [4] stats vector, bundle left PACKED (callers restore or consume)."""
     cam_to_world, _ = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
@@ -55,9 +75,6 @@ def _solve_scheduled(params, camera: Camera, config: RenderConfig, frame):
     pr, steps, _within, refine_overflow = renderer_lib._scheduled_march.__wrapped__(
         params, cam_to_world, origin, dirs, config, frame
     )
-    # Counts come from the packed bundle; the restore sort then carries only
-    # the two payloads the grad program consumes (t, converged) instead of
-    # the full MarchState (the restore is payload-bandwidth-bound).
     stats = jnp.stack(
         [
             jnp.sum(pr.active.astype(jnp.int32)),
@@ -66,6 +83,21 @@ def _solve_scheduled(params, camera: Camera, config: RenderConfig, frame):
             refine_overflow,
         ]
     )
+    return pr, stats
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_scheduled(params, camera: Camera, config: RenderConfig, frame):
+    """Staged-compaction t*-solve as ONE compiled program.
+
+    Runs the inference path's full scheduled march (coarse megakernel +
+    precision ladder, renderer._scheduled_march), restores image order, and
+    returns (t [N], hit [N], stats [4]) — no shading, no color restore sort.
+    """
+    # Counts come from the packed bundle; the restore sort then carries only
+    # the two payloads the grad program consumes (t, converged) instead of
+    # the full MarchState (the restore is payload-bandwidth-bound).
+    pr, stats = _march_packed(params, camera, config, frame)
     from ..ops import compaction
 
     t, hit = compaction.sort_restore_leaves(pr.pos, (pr.t, pr.converged))
@@ -109,32 +141,12 @@ def solve_surface_async(
     synchronous ``solve_surface`` (rare: refine-bucket overflow or an
     exotic schedule). Saves one tunnel round trip (~26 ms) per step.
     """
-    from ..render.renderer import memo_lookup, schedule_ok
+    from ..render.renderer import memo_lookup
 
     frame = jnp.asarray(frame, jnp.float32)
     config = memo_lookup(params, config)
     t, hit, stats = _solve_scheduled(params, camera, config, frame)
-
-    def check(stats_out: Optional[dict] = None, values=None) -> bool:
-        """``values``: optionally the already-fetched [4] stats (the caller
-        fused the fetch with other scalars to save a tunnel round trip —
-        see train.pixel_train_step_fast); otherwise fetched here."""
-        if values is None:
-            values = np.asarray(stats)
-        active_count, steps_done, hit_count, refine_overflow = (
-            int(v) for v in values
-        )
-        ok = schedule_ok(active_count, steps_done, refine_overflow, config)
-        if stats_out is not None:
-            stats_out.update(
-                rays=config.num_rays, steps=steps_done, hits=hit_count,
-                unresolved=active_count, refine_overflow=refine_overflow,
-                fast_path=ok,
-            )
-        return ok
-
-    check.stats = stats  # device array, for fused fetches
-    return t, hit, check
+    return t, hit, _make_check(stats, config)
 
 
 def solve_surface(
@@ -223,25 +235,11 @@ def _solve_scheduled_packed(params, camera: Camera, config: RenderConfig, frame)
     The image-order restore (a 2M-lane sort) exists only for consumers that
     index rays by pixel; the compacted grad program re-packs by hit anyway,
     so handing it the packed (pos, t, converged) directly cancels BOTH
-    sorts (diff/losses._pixel_loss_compact_packed sorts only within the
+    sorts (diff/losses.pixel_loss_packed sorts only within the
     first refine bucket, where every hit lives — renderer._conv_within).
     Returns (pos, t, conv, stats).
     """
-    cam_to_world, _ = camera_lib.view_matrices(camera)
-    origin, dirs = camera_lib.generate_rays(
-        cam_to_world, config.height, config.width, config.focal
-    )
-    pr, steps, _within, refine_overflow = renderer_lib._scheduled_march.__wrapped__(
-        params, cam_to_world, origin, dirs, config, frame
-    )
-    stats = jnp.stack(
-        [
-            jnp.sum(pr.active.astype(jnp.int32)),
-            steps,
-            jnp.sum(pr.converged.astype(jnp.int32)),
-            refine_overflow,
-        ]
-    )
+    pr, stats = _march_packed(params, camera, config, frame)
     return pr.pos, pr.t, pr.converged, stats
 
 
@@ -256,27 +254,10 @@ def solve_surface_packed_async(
     static prefix bound containing every converged lane (None when the
     bundle layout gives no bound — callers must then fall back to the
     image-order path). Same deferred-check contract."""
-    from ..render.renderer import _conv_within, memo_lookup, schedule_ok
+    from ..render.renderer import _conv_within, memo_lookup
 
     frame = jnp.asarray(frame, jnp.float32)
     config = memo_lookup(params, config)
     pos, t, conv, stats = _solve_scheduled_packed(params, camera, config, frame)
     within = _conv_within(config)
-
-    def check(stats_out: Optional[dict] = None, values=None) -> bool:
-        if values is None:
-            values = np.asarray(stats)
-        active_count, steps_done, hit_count, refine_overflow = (
-            int(v) for v in values
-        )
-        ok = schedule_ok(active_count, steps_done, refine_overflow, config)
-        if stats_out is not None:
-            stats_out.update(
-                rays=config.num_rays, steps=steps_done, hits=hit_count,
-                unresolved=active_count, refine_overflow=refine_overflow,
-                fast_path=ok,
-            )
-        return ok
-
-    check.stats = stats
-    return pos, t, conv, within, check
+    return pos, t, conv, within, _make_check(stats, config)

@@ -138,55 +138,60 @@ def pixel_train_step_fast(
     and redoes the step synchronously in the rare overflow/bucket-miss case.
     """
     from ..ops import compaction
-    from ..render.renderer import _conv_within
+    from ..render.renderer import _conv_within, memo_lookup
     from .solve import solve_surface_async, solve_surface_packed_async
 
     stats = stats_out if stats_out is not None else {}
     n = config.num_rays
     hint = stats.get("hits")
-    within = _conv_within(config)
+    # The packed handoff is valid only under the bound of the config the
+    # solve will EXECUTE (the memo may redirect to a widened schedule whose
+    # bound differs from the caller's config — or is None at divisor 1).
+    within = _conv_within(memo_lookup(state.params, config))
 
     if hint is not None and within is not None:
         # Packed pipelined fast path (mixed precision: every hit lives in
         # the first refine bucket): the solve skips its 2M restore sort and
         # the grad program packs only the `within` prefix — both big sorts
-        # cancel (losses.pixel_loss_packed).
-        cap = compaction.capacity_pow2_of(
-            hint, n, minimum=config.compact_min
+        # cancel (losses.pixel_loss_packed). hits <= within by the bundle
+        # invariant, so clamping the bucket to the executed bound is always
+        # valid — and the validity check below compares against the bucket
+        # actually dispatched.
+        cap = min(
+            compaction.capacity_pow2_of(hint, n, minimum=config.compact_min),
+            within,
         )
-        cap = min(cap, within)
         pos, t_p, conv, w_bound, check = solve_surface_packed_async(
             state.params, camera, config
         )
-        if w_bound is not None:
+        assert w_bound == within, (w_bound, within)  # same memo, same bound
+        new_state, loss = _pixel_grad_step_packed(
+            state, camera, target, pos, t_p, conv, config, lr,
+            cap, w_bound,
+        )
+        import numpy as np
+
+        fused = np.asarray(jnp.concatenate(
+            [check.stats.astype(jnp.float32), jnp.reshape(loss, (1,))]
+        ))
+        loss = jnp.float32(fused[4])
+        if check(stats_out=stats, values=fused[:4]):
+            if stats["hits"] <= cap:
+                return new_state, loss
+            # bucket outgrown but the solve is fine: re-dispatch only
+            # the grad program with the bucket sized from the true count.
+            cap2 = min(
+                compaction.capacity_pow2_of(
+                    stats["hits"], n, minimum=config.compact_min
+                ),
+                w_bound,
+            )
             new_state, loss = _pixel_grad_step_packed(
                 state, camera, target, pos, t_p, conv, config, lr,
-                cap, w_bound,
+                cap2, w_bound,
             )
-            import numpy as np
-
-            fused = np.asarray(jnp.concatenate(
-                [check.stats.astype(jnp.float32), jnp.reshape(loss, (1,))]
-            ))
-            loss = jnp.float32(fused[4])
-            if check(stats_out=stats, values=fused[:4]):
-                if stats["hits"] <= cap:
-                    return new_state, loss
-                # bucket outgrown but the solve is fine: re-dispatch only
-                # the grad program. hits <= within always (the bundle
-                # invariant), so clamping to the prefix keeps it valid.
-                cap2 = min(
-                    compaction.capacity_pow2_of(
-                        stats["hits"], n, minimum=config.compact_min
-                    ),
-                    w_bound,
-                )
-                new_state, loss = _pixel_grad_step_packed(
-                    state, camera, target, pos, t_p, conv, config, lr,
-                    cap2, w_bound,
-                )
-                return new_state, loss
-            # solve failed: fall through to the synchronous redo below
+            return new_state, loss
+        # solve failed: fall through to the synchronous redo below
 
     elif hint is not None:
         # Pipelined: size the bucket from the previous step, dispatch
@@ -270,10 +275,9 @@ def train_loop_fast(
     target is broadcast. Returns (final state, [loss floats]).
     """
     from ..ops import compaction
-    from ..render.renderer import _conv_within
+    from ..render.renderer import _conv_within, memo_lookup
     from .solve import solve_surface_async, solve_surface_packed_async
 
-    within = _conv_within(config)
     if isinstance(cameras, Camera):
         cameras = [cameras]
     if not isinstance(targets, (list, tuple)):
@@ -313,7 +317,11 @@ def train_loop_fast(
     WINDOW = 4
     k = 1
     while k < n_steps:
-        inflight = []  # (index, prev_state, new_state, fused_device, check)
+        # The packed-handoff bound must come from the config the solves
+        # will EXECUTE (memo-widened; re-resolved each outer iteration
+        # because a redo may teach the memo mid-loop).
+        within = _conv_within(memo_lookup(state.params, config))
+        inflight = []  # (index, prev_state, new_state, fused, check, bucket)
         s = state
         j = k
         failed_at = None
@@ -321,14 +329,17 @@ def train_loop_fast(
             while j < n_steps and len(inflight) < WINDOW:
                 if within is not None:
                     # packed handoff: solve restore + grad re-pack cancel
+                    bucket = min(cap, within)
                     pos, t_p, conv, w_bound, check = solve_surface_packed_async(
                         s.params, cameras[j], config
                     )
+                    assert w_bound == within, (w_bound, within)
                     s2, loss = _pixel_grad_step_packed(
                         s, cameras[j], targets[j], pos, t_p, conv, config,
-                        lr, min(cap, within), w_bound,
+                        lr, bucket, w_bound,
                     )
                 else:
+                    bucket = cap if cap < n else n
                     t_star, hit, check = solve_surface_async(
                         s.params, cameras[j], config
                     )
@@ -339,14 +350,15 @@ def train_loop_fast(
                 fused = jnp.concatenate(
                     [check.stats.astype(jnp.float32), jnp.reshape(loss, (1,))]
                 )
-                inflight.append((j, s, s2, fused, check))
+                inflight.append((j, s, s2, fused, check, bucket))
                 s = s2
                 j += 1
-            jj, prev_s, new_s, fused, check = inflight.pop(0)
+            jj, prev_s, new_s, fused, check, bucket = inflight.pop(0)
             vals = np.asarray(fused)
             st: dict = {}
             solve_ok = check(stats_out=st, values=vals[:4])
-            ok = solve_ok and st["hits"] <= cap
+            # validity compares against the bucket actually DISPATCHED
+            ok = solve_ok and st["hits"] <= bucket
             if not ok:
                 # Redo step jj from the last good state; the dispatched
                 # continuation (jj+1..) used a bad step and is discarded.
