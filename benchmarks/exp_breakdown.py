@@ -157,7 +157,7 @@ def main():
     bench("full _scheduled_march", chain(sched_body), origin, dirs,
           reps=args.reps, rtt=rtt)
 
-    pr, steps, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, fz)
+    pr, steps, _, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, fz)
 
     def shade_body(t):
         p2 = pr._replace(t=t)

@@ -11,14 +11,18 @@ state DMA). This sweep measures the coarse phase ALONE (run-to-dry to
 coarse_eps, DEFAULT precision, block-major lane order exactly as
 _scheduled_march builds it) across (coarse_block, tile) at 1080p.
 
-RESULT (TPU v5e, plane_1, ry=25/65 mean): FLAT — 30.6 ms at every
-config from 64x64/4096 through 256x256/16384 (2048 tiles +3 ms). Each
-frame here pays one ~26 ms tunnel RTT (single-frame sync; only deltas
-matter), so device time is ~4.6 ms/frame — the coarse kernel already
-runs AT its 5.1 ms useful-lane-step floor and straggler drag is noise
-at coarse_eps=0.05. The "13 ms coarse" in the end-to-end ablation
-breakdown is dispatch + ray build + init shares, not kernel waste.
-No lever here; 128x128/8192 stays.
+RESULT (TPU v5e, plane_1, ry=25/65 mean): FLAT from 64x64/4096 through
+256x256/16384 — 30.6 ms each; the 64x64/2048 config measured +3 ms.
+Each frame here pays one ~26 ms tunnel RTT (single-frame sync; only
+deltas matter), so device time is ~4.6 ms/frame — which also means
+per-config deltas below ~1 ms are inside the sync-noise floor of this
+protocol; the "flat" claim is at that resolution, and `--chain N`
+(added after review) folds N marches into one sync so deltas resolve
+against device time instead. The coarse kernel runs at its ~5.1 ms
+useful-lane-step floor and straggler drag is noise at coarse_eps=0.05.
+The "13 ms coarse" in the end-to-end ablation breakdown is dispatch +
+ray build + init shares, not kernel waste. No lever here;
+128x128/8192 stays.
 """
 from __future__ import annotations
 
@@ -74,17 +78,25 @@ def main():
                 params, origin, dirs, st, cfg, 0.0, tile=tile,
                 march_eps=cfg.coarse_eps,
                 precision=jax.lax.Precision.DEFAULT,
-                relax_omega=cfg.relax_omega, return_resolve=True)
+                relax_omega=cfg.relax_omega, return_resolve=True,
+                cyl_window=cfg.cyl_window_coarse)  # mirror the shipped
+            # coarse invocation exactly (renderer._scheduled_march) — a
+            # no-op for scene="neural_raw", but required if this sweep is
+            # ever reused for the CSG scenes
 
         coarse = jax.jit(coarse)
+        chain = int(sys.argv[sys.argv.index("--chain") + 1]) if "--chain" in sys.argv else 1
         for c2w in mats:  # warm both cameras
             float(_sync_val(coarse(c2w)))
         ts = []
         for _ in range(4):
+            # `--chain N` dispatches N marches per camera and syncs ONCE, so
+            # the ~26 ms tunnel RTT amortizes and sub-ms per-config deltas
+            # resolve against device time (advisor round-4 note).
             t0 = time.perf_counter()
-            for c2w in mats:
-                float(_sync_val(coarse(c2w)))
-            ts.append((time.perf_counter() - t0) / len(mats))
+            vals = [coarse(c2w) for c2w in mats for _ in range(chain)]
+            float(jnp.stack([_sync_val(v) for v in vals]).sum())
+            ts.append((time.perf_counter() - t0) / (len(mats) * chain))
         st, resolve = coarse(mats[0])
         lanesteps = float(jnp.sum(resolve))
         print(f"block {bh:3d}x{bw:3d} tile {tile:5d}: "

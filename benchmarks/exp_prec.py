@@ -50,7 +50,7 @@ def main():
     origin, dirs = camera_lib.generate_rays(cam_to_world, h, w, cfg.focal)
 
     # Build the real rung0 bucket: coarse phase + near-set sort.
-    pr, steps, _, _ = renderer._scheduled_march(
+    pr, steps, _, _, _ = renderer._scheduled_march(
         params, origin, dirs, cfg, jnp.float32(0.0))
     near = pr.converged | pr.active
     prs = renderer._pr_sort(

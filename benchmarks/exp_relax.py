@@ -61,7 +61,7 @@ def main():
     # --- shading decomposition at the N/8 bucket (packed flow)
     c2w, w2c = camera_lib.view_matrices(cam)
     origin, dirs = camera_lib.generate_rays(c2w, h, w, base.focal)
-    pr, steps, _, _ = renderer._scheduled_march(params, origin, dirs, base, jnp.float32(0.0))
+    pr, steps, _, _, _ = renderer._scheduled_march(params, origin, dirs, base, jnp.float32(0.0))
     cap = n // 8
     f_shade = renderer.shade_fn(params, base, 0.0)
 

@@ -45,7 +45,7 @@ def main():
     cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
     cam_to_world, world_to_cam = camera_lib.view_matrices(cam)
     origin, dirs = camera_lib.generate_rays(cam_to_world, h, w, cfg.focal)
-    pr, steps, _, _ = renderer._scheduled_march(
+    pr, steps, _, _, _ = renderer._scheduled_march(
         params, origin, dirs, cfg, jnp.float32(0.0))
     pr = jax.block_until_ready(pr)
     cap = max(n // cfg.shade_div, cfg.compact_min)

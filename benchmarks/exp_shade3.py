@@ -43,7 +43,7 @@ def main():
     cap = max(n // cfg.shade_div, cfg.compact_min)
     cap0 = max(n // cfg.refine_schedule[0][0], cfg.compact_min)
 
-    pr, steps, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, fz)
+    pr, steps, _, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, fz)
     pr = jax.tree_util.tree_map(lambda x: np.asarray(x), pr)
     pr = renderer.PackedRays(*(jnp.asarray(x) for x in pr))
 

@@ -82,7 +82,7 @@ def main():
     timed("full _scheduled_march", sched, origin, dirs, reps=args.reps)
 
     # --- shading (packed-bucket) incl. final image-order restore sort
-    pr, steps, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, jnp.float32(0.0))
+    pr, steps, _, _, _ = renderer._scheduled_march(params, cam_to_world, origin, dirs, cfg, jnp.float32(0.0))
     shade = jax.jit(lambda p, s: renderer._shade_packed(params, origin, cam_to_world, p, s, world_to_cam, cfg, None, jnp.float32(0.0))[0])
     timed("packed shading + restore", shade, pr, steps, reps=args.reps)
 

@@ -50,6 +50,7 @@ from .render.renderer import (
     render_staged,
     reset_schedule_memo,
     scene_fn,
+    tune_caps,
 )
 from .utils import image_io
 from .utils.config import RenderConfig
@@ -76,6 +77,7 @@ __all__ = [
     "render_sequence",
     "render_staged",
     "reset_schedule_memo",
+    "tune_caps",
     "save_pytree",
     "scene_fn",
     "sdf",

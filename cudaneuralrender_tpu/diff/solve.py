@@ -50,7 +50,7 @@ def _make_check(stats, config: RenderConfig):
         if values is None:
             values = np.asarray(stats)
         active_count, steps_done, hit_count, refine_overflow = (
-            int(v) for v in values
+            int(v) for v in values[:4]
         )
         ok = schedule_ok(active_count, steps_done, refine_overflow, config)
         if stats_out is not None:
@@ -67,20 +67,29 @@ def _make_check(stats, config: RenderConfig):
 
 def _march_packed(params, camera: Camera, config: RenderConfig, frame):
     """Shared scheduled-march body: ray gen + renderer._scheduled_march +
-    the [4] stats vector, bundle left PACKED (callers restore or consume)."""
+    the stats vector ([:4] = health protocol, [4:] = per-rung entry actives
+    for the adaptive tuner/retune — same layout as _render_scheduled's),
+    bundle left PACKED (callers restore or consume)."""
     cam_to_world, _ = camera_lib.view_matrices(camera)
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
     )
-    pr, steps, _within, refine_overflow = renderer_lib._scheduled_march.__wrapped__(
-        params, cam_to_world, origin, dirs, config, frame
+    pr, steps, _within, refine_overflow, rungs = (
+        renderer_lib._scheduled_march.__wrapped__(
+            params, cam_to_world, origin, dirs, config, frame
+        )
     )
-    stats = jnp.stack(
+    stats = jnp.concatenate(
         [
-            jnp.sum(pr.active.astype(jnp.int32)),
-            steps,
-            jnp.sum(pr.converged.astype(jnp.int32)),
-            refine_overflow,
+            jnp.stack(
+                [
+                    jnp.sum(pr.active.astype(jnp.int32)),
+                    steps,
+                    jnp.sum(pr.converged.astype(jnp.int32)),
+                    refine_overflow,
+                ]
+            ),
+            rungs,
         ]
     )
     return pr, stats
@@ -164,14 +173,15 @@ def solve_surface(
     overflow retries with a widened schedule; a step-starved "full"-precision
     truncation falls back to the dense exact march. Call OUTSIDE jit/grad.
     """
-    from ..render.renderer import _widen, memo_lookup, memo_teach
+    from ..render.renderer import _widen_or_retune, memo_lookup, memo_teach
 
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
     config = memo_lookup(params, config)
     t, hit, stats = _solve_scheduled(params, camera, config, frame)
+    stats = np.asarray(stats)
     active_count, steps_done, hit_count, refine_overflow = (
-        int(v) for v in np.asarray(stats)
+        int(v) for v in stats[:4]
     )
     if stats_out is not None:
         stats_out.update(
@@ -184,14 +194,15 @@ def solve_surface(
         )
 
     if refine_overflow > 0:
-        # Same retry rule as render_staged: double every refine bucket (and
+        # Same retry rule as render_staged: resize the caps from this
+        # frame's own rung stats, or double every refine bucket (and
         # mid-ladder bucket — overflow can originate from a HIGH rung). If
-        # widening no longer changes the config (all divs already 1) the
-        # overflow cannot clear; finish on the exact dense path instead of
-        # recursing forever. The shared adaptive memo then lets future
-        # solves (and renders) of this config dispatch the working schedule
-        # directly.
-        widened = _widen(config)
+        # recovery no longer changes the config (all divs already 1, caps
+        # at the image) the overflow cannot clear; finish on the exact
+        # dense path instead of recursing forever. The shared adaptive
+        # memo then lets future solves (and renders) of this config
+        # dispatch the working schedule directly.
+        widened = _widen_or_retune(config, stats)
         if widened == config:
             if stats_out is not None:
                 stats_out.update(fast_path=False, dense_fallback=True)

@@ -174,7 +174,7 @@ def pixel_train_step_fast(
         fused = np.asarray(jnp.concatenate(
             [check.stats.astype(jnp.float32), jnp.reshape(loss, (1,))]
         ))
-        loss = jnp.float32(fused[4])
+        loss = jnp.float32(fused[-1])
         if check(stats_out=stats, values=fused[:4]):
             if stats["hits"] <= cap:
                 return new_state, loss
@@ -215,7 +215,7 @@ def pixel_train_step_fast(
         fused = np.asarray(jnp.concatenate(
             [check.stats.astype(jnp.float32), jnp.reshape(loss, (1,))]
         ))  # ONE host sync for stats + loss (counts < 2^24 are f32-exact)
-        loss = jnp.float32(fused[4])
+        loss = jnp.float32(fused[-1])
         if check(stats_out=stats, values=fused[:4]):
             if stats["hits"] <= cap:
                 return new_state, loss
@@ -387,7 +387,7 @@ def train_loop_fast(
                 break
             if stats_out is not None:
                 stats_out.append(st)
-            losses_out.append(float(vals[4]))
+            losses_out.append(float(vals[-1]))
             state = new_s
         k = failed_at + 1 if failed_at is not None else n_steps
     return state, losses_out

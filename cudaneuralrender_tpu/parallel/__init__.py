@@ -11,6 +11,7 @@ from .sharding import (
     pixel_train_step_sharded,
     render_image_sharded,
     render_image_sharded_staged,
+    shard_load_stats,
     solve_surface_sharded,
 )
 
@@ -25,6 +26,7 @@ __all__ = [
     "render_global",
     "render_image_sharded",
     "render_image_sharded_staged",
+    "shard_load_stats",
     "render_tiled",
     "replicated",
     "sharding",

@@ -121,7 +121,7 @@ def _render_band_staged(
         *(config.coarse_block or (rows, config.width))
     ))
     pos = band * jnp.int32(n_local) + perm
-    rgba, stats5 = staged_subset(
+    rgba, stats5, _rungs = staged_subset(
         params, pos, cam_to_world, world_to_cam, config, matcap, frame,
     )
     return rgba.reshape(rows, config.width, 4), jnp.stack(stats5)

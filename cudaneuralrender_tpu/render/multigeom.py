@@ -90,8 +90,8 @@ def render_batch_staged(
     Returns a list of [H, W, 4] device arrays.
     """
     from .renderer import (
-        _render_scheduled, _widen, check_fast, memo_lookup, memo_teach,
-        render_staged,
+        _maybe_tune, _render_scheduled, _widen_or_retune, check_fast,
+        memo_lookup, memo_teach, render_staged,
     )
 
     matcaps = [matcap] * len(params_list)
@@ -143,13 +143,16 @@ def render_batch_staged(
         ovf = int(st[3])
         if check_fast(st, cfg):
             out.append(rgba)
+            # Per-geometry adaptive rung sizing (the memo is keyed on
+            # geometry identity, so each expert learns its own caps).
+            _maybe_tune(p, orig_config, cfg, st[4:], margin=1.35)
         elif ovf > 0:
             # The pipelined attempt already proved this geometry's near set
             # exceeds the first refine bucket — go straight to the widened
             # schedule (same shortcut as renderer.render_sequence) instead
             # of re-rendering the base schedule just to rediscover it, and
             # teach the per-geometry memo for the next call.
-            widened = _widen(cfg)
+            widened = _widen_or_retune(cfg, st)
             out.append(render_staged(p, camera, widened, mc, frame))
             memo_teach(p, orig_config, widened)
         else:

@@ -341,11 +341,22 @@ def _pr_merge(pr: PackedRays, sub: march.MarchState) -> PackedRays:
     )
 
 
+def _cap_for(n: int, div: int, cap_abs: int, config: RenderConfig) -> int:
+    """Lane cap of one refine rung: the explicit tuned cap when the config
+    carries one (``cap_abs`` > 0, scaled from config.num_rays to this
+    bundle's ``n`` for sharded subsets), else the divisor default n//div;
+    both floored at compact_min (sub-VPU-width batches save nothing)."""
+    if cap_abs:
+        cap = cap_abs if n == config.num_rays else -(-cap_abs * n // config.num_rays)
+        return max(min(cap, n), config.compact_min)
+    return max(n // div, config.compact_min)
+
+
 def _run_schedule(
     f, origin, cam_to_world, pr: PackedRays, steps, schedule,
     config: RenderConfig, eps, *,
     precision=None, tail_kernel=None, relax: float = 0.0, within=None,
-    rung_kernel=None,
+    rung_kernel=None, caps=None, stats_collect=None, count_stranding=False,
 ):
     """Sort→march-prefix compaction rungs over the packed bundle.
 
@@ -358,16 +369,31 @@ def _run_schedule(
     loop, so schedules are performance hints, never correctness hazards.
 
     ``within`` bounds where actives can currently live (the previous bucket
-    size), shrinking each rung's sort to bucket scale. Returns
-    (pr, steps, within).
+    size), shrinking each rung's sort to bucket scale.
+
+    ``caps``: optional per-rung explicit lane caps (the adaptive tuner's
+    output, aligned with ``schedule``); ``stats_collect``: a list that each
+    rung's traced entry-active count is appended to (the tuner's input);
+    ``count_stranding=True`` folds stranded actives (entry actives beyond a
+    rung's cap, which later rungs' within-bounded sorts can no longer reach)
+    into the returned overflow scalar so the caller's widen-retry machinery
+    handles them instead of the slow host continuation. Returns
+    (pr, steps, within, overflow).
     """
     n = pr.pos.shape[0]
+    stranded = jnp.zeros((), jnp.int32)
     for rung_i, (div, rung_steps) in enumerate(schedule):
-        # Clamp small buckets up to compact_min (sub-VPU-width batches save
-        # nothing); a rung whose bucket is the whole image marches densely —
-        # terminal (steps=0) rungs must still run to completion so small
-        # images resolve inside this one program.
-        cap = max(n // div, config.compact_min)
+        # Clamp small buckets up to compact_min; a rung whose bucket is the
+        # whole image marches densely — terminal (steps=0) rungs must still
+        # run to completion so small images resolve inside this one program.
+        cap = _cap_for(n, div, caps[rung_i] if caps else 0, config)
+        entry_active = None
+        if stats_collect is not None or count_stranding:
+            entry_active = jnp.sum(pr.active.astype(jnp.int32))
+        if stats_collect is not None:
+            stats_collect.append(entry_active)
+        if count_stranding and cap < n:
+            stranded = jnp.maximum(stranded, entry_active - cap)
         scope = f"rung{rung_i}_div{div}_s{rung_steps}"
         if cap >= n:
             if rung_steps == 0:
@@ -412,7 +438,7 @@ def _run_schedule(
                 )
         pr, steps = _pr_merge(pr, sub), sub.steps
         within = cap
-    return pr, steps, within
+    return pr, steps, within, stranded
 
 
 
@@ -645,12 +671,13 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
             if pos is not None:
                 pr = pr._replace(pos=pos)
             difficulty = None  # XLA coarse path tracks no per-ray step counts
-            pr, steps, within = _run_schedule(
+            pr, steps, within, _ = _run_schedule(
                 coarse, origin, cam_to_world, pr, steps, schedule_a, config, eps_a,
                 precision=prec_a, tail_kernel=tail_kernel, relax=relax, within=None,
             )
 
     refine_overflow = jnp.zeros((), jnp.int32)
+    rung_actives = None
     relax_refine = config.relax_omega_refine if mixed else 0.0
     if mixed:
         # Precision ladder: re-march the near-surface set at each finer
@@ -678,25 +705,36 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
                 "refine_high" if prec == jax.lax.Precision.HIGH
                 else "refine_highest"
             )
+            # Adaptive caps + per-rung stats apply to the HIGHEST phase on
+            # the refine_schedule (the frame's dominant cost); the optional
+            # HIGH mid phase keeps its divisor schedule.
+            is_highest = prec == jax.lax.Precision.HIGHEST
+            collect = [] if is_highest else None
             with jax.named_scope(phase_name):
                 pr, steps, within, ovf = _refine_phase(
                     f_p, origin, cam_to_world, pr, steps, config, eps,
                     precision=prec, tail_kernel=tk, relax=relax_refine,
                     rung_kernel=_rung_kernel_fn(params, config, frame, relax),
                     schedule=sched, order=difficulty,
+                    caps=(config.refine_caps if is_highest else None),
+                    stats_collect=collect,
                 )
+            if collect is not None:
+                rung_actives = jnp.stack(collect)
             refine_overflow = jnp.maximum(refine_overflow, ovf)
             # later ladder phases see a re-sorted bundle; the image-order
             # difficulty key no longer aligns
             difficulty = None
-    return pr, steps, within, refine_overflow
+    if rung_actives is None:
+        rung_actives = jnp.zeros((len(config.refine_schedule),), jnp.int32)
+    return pr, steps, within, refine_overflow, rung_actives
 
 
 def _refine_phase(
     f, origin, cam_to_world, pr: PackedRays, steps, config: RenderConfig,
     eps, *,
     precision, tail_kernel, relax: float = 0.0, rung_kernel=None,
-    schedule=None, order=None,
+    schedule=None, order=None, caps=None, stats_collect=None,
 ):
     """One ladder phase: re-mark the near-surface set (converged-or-active)
     active, sort it into the first refine rung's bucket, march, then drain
@@ -705,18 +743,23 @@ def _refine_phase(
     The near set can span the whole bundle (phase A converges rays in place
     during its dense prefix), so the phase's first sort is full-size; the
     remaining rungs sort within the first bucket. Overflow (near rays beyond
-    the first bucket) is reported so the caller can fall back to the exact
-    full-precision path — by then their converged flags have been re-marked
-    active, which the fallback re-render makes moot.
+    the first bucket, or actives stranded past a LATER rung's cap) is
+    reported so the caller can retry with widened buckets — by then their
+    converged flags have been re-marked active, which the retry makes moot.
+
+    ``caps``/``stats_collect``: adaptive rung sizing (see _run_schedule);
+    the phase's entry near-count is the first collected stat.
     """
     n = pr.pos.shape[0]
     if schedule is None:
         schedule = config.refine_schedule
     near = pr.converged | pr.active
     refine_count = jnp.sum(near.astype(jnp.int32))
+    if stats_collect is not None:
+        stats_collect.append(refine_count)
     overflow = jnp.zeros((), jnp.int32)
     div0, steps0 = schedule[0]
-    cap = max(n // div0, config.compact_min)
+    cap = _cap_for(n, div0, caps[0] if caps else 0, config)
     if cap < n:
         # Slim entry sort: only (pos, t) ride it — the packed ``active``
         # prefix is an iota comparison, ``converged`` is cleared phase-wide
@@ -775,12 +818,13 @@ def _refine_phase(
         )
         pr, steps = _pr_merge(pr, state), state.steps
         within = n
-    pr, steps, within = _run_schedule(
+    pr, steps, within, stranded = _run_schedule(
         f, origin, cam_to_world, pr, steps, schedule[1:], config, eps,
         precision=precision, tail_kernel=tail_kernel, relax=relax, within=within,
-        rung_kernel=rung_kernel,
+        rung_kernel=rung_kernel, caps=(caps[1:] if caps else None),
+        stats_collect=stats_collect, count_stranding=True,
     )
-    return pr, steps, within, overflow
+    return pr, steps, within, jnp.maximum(overflow, stranded)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -839,7 +883,10 @@ def _conv_within(config: RenderConfig, n: int | None = None):
         return None
     if n is None:
         n = config.num_rays
-    cap0 = max(n // config.refine_schedule[0][0], config.compact_min)
+    cap0 = _cap_for(
+        n, config.refine_schedule[0][0],
+        config.refine_caps[0] if config.refine_caps else 0, config,
+    )
     return cap0 if cap0 < n else None
 
 
@@ -1009,7 +1056,7 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
     origin, dirs = camera_lib.generate_rays(
         cam_to_world, config.height, config.width, config.focal
     )
-    pr, steps, within, refine_overflow = _scheduled_march.__wrapped__(
+    pr, steps, within, refine_overflow, rung_actives = _scheduled_march.__wrapped__(
         params, cam_to_world, origin, dirs, config, frame, t_init
     )
     conv_within = _conv_within(config)
@@ -1017,12 +1064,20 @@ def _render_scheduled(params, camera: Camera, config: RenderConfig, matcap, fram
         params, origin, cam_to_world, pr, steps, world_to_cam, config, matcap,
         frame, within=conv_within,
     )
-    stats = jnp.stack(
+    # stats[:4] is the fast-path protocol (check_fast); stats[4:] carries the
+    # HIGHEST refine ladder's per-rung entry-active counts — the adaptive
+    # rung tuner's input (tune_caps).
+    stats = jnp.concatenate(
         [
-            jnp.sum(pr.active.astype(jnp.int32)),
-            steps,
-            hit_count,
-            refine_overflow,
+            jnp.stack(
+                [
+                    jnp.sum(pr.active.astype(jnp.int32)),
+                    steps,
+                    hit_count,
+                    refine_overflow,
+                ]
+            ),
+            rung_actives,
         ]
     )
     if return_state:
@@ -1088,6 +1143,7 @@ def _sched_entry(config: RenderConfig) -> dict:
     return {
         "refine_schedule": [list(r) for r in config.refine_schedule],
         "mid_schedule": [list(r) for r in config.mid_schedule],
+        "refine_caps": list(config.refine_caps),
     }
 
 
@@ -1109,7 +1165,11 @@ def memo_lookup(params, config: RenderConfig) -> RenderConfig:
                     mid_schedule=tuple(
                         (int(d), int(s)) for d, s in entry["mid_schedule"]
                     ),
+                    refine_caps=tuple(
+                        int(c) for c in entry.get("refine_caps", ())
+                    ),
                 )
+                widened.validate()
             except Exception:
                 return config
             _SCHEDULE_MEMO[(tag, config)] = widened
@@ -1137,7 +1197,112 @@ def _widen(config: RenderConfig) -> RenderConfig:
         mid_schedule=tuple(
             (max(d // 2, 1), s) for d, s in config.mid_schedule
         ),
+        # Tuned caps double alongside (clamped at the image: a cap >= n
+        # marches densely and cannot overflow, so widening terminates).
+        refine_caps=tuple(
+            min(c * 2, config.num_rays) for c in config.refine_caps
+        ),
     )
+
+
+def tune_caps(config: RenderConfig, rung_actives, *, margin: float = 1.25,
+              granule: Optional[int] = None,
+              allow_grow: bool = False) -> Optional[RenderConfig]:
+    """Shrink the refine ladder's rungs to the measured near-set decay.
+
+    ``rung_actives`` (stats[4:] of one or more successful frames — pass the
+    per-rung MAX over a batch) are the entry-active counts of each HIGHEST
+    refine rung. The default divisor schedule sizes rungs as image
+    fractions, so on most (geometry, camera) pairs bounded rungs run partly
+    empty — dead-suffix kernel tiles, oversized sorts, and an oversized
+    in-place shade prefix (_shade_packed shades all of ``within``). The
+    tuned caps are actives*margin rounded up to ``granule`` (the megakernel
+    tile, so buckets stay tile-aligned), never larger than the divisor
+    default, floored at compact_min, and non-increasing down the ladder
+    (rung i sorts within rung i-1's bucket).
+
+    Returns the tuned config, or None when nothing would shrink / the
+    config is ineligible (caps already set, adaptive disabled, non-mixed
+    march, or a stats vector from a different schedule). A cap a later
+    frame outgrows raises the refine_overflow retry (caps resize from the
+    overflowing frame's own stats — _widen_or_retune — and the memo
+    re-teaches), so tuning is a performance hint, never a correctness
+    hazard — same contract as every schedule knob.
+
+    ``allow_grow=True`` is the overflow-recovery mode: caps may exceed the
+    divisor defaults (sized to a near set the default ladder cannot hold)
+    and the only-if-something-shrinks guard is skipped. ``granule`` rounds
+    caps up (kernel-tile 8192 at production sizes; finer at small images so
+    tuning is exercised there too).
+    """
+    if (
+        not config.adaptive_rungs
+        or (config.refine_caps and not allow_grow)
+        or config.march_precision != "mixed"
+        or len(rung_actives) != len(config.refine_schedule)
+    ):
+        return None
+    n = config.num_rays
+    if granule is None:
+        granule = 8192 if n >= 8192 * 32 else max(64, n // 32)
+    caps, prev, changed = [], n, False
+    for (div, _s), a in zip(config.refine_schedule, rung_actives):
+        base = max(n // div, config.compact_min)
+        want = -(-int(int(a) * margin) // granule) * granule
+        cap = max(min(want, prev) if allow_grow else min(want, base, prev),
+                  config.compact_min)
+        if cap < base:
+            changed = True
+        caps.append(cap)
+        prev = cap
+    if not (changed or allow_grow):
+        return None
+    return config.replace(refine_caps=tuple(caps))
+
+
+def _widen_or_retune(config: RenderConfig, stats) -> RenderConfig:
+    """Recovery config after a refine-bucket overflow.
+
+    With per-rung stats available, resize the caps from the overflowing
+    frame's OWN recorded entry counts (exact for the phase-entry rung,
+    conservative after stranding) — one retry converges instead of
+    log2-many doublings, and a cap-tuned schedule that met a bigger pose
+    re-fits instead of blindly doubling. Falls back to the classic
+    all-buckets-doubled widen whenever retuning yields no change (e.g.
+    adaptive disabled, stats too short, or caps already at the measured
+    sizes), which guarantees the retry loop terminates: every retry either
+    raises the violated cap by >=margin or halves a divisor, and a bucket
+    spanning the image cannot overflow.
+    """
+    stats = np.asarray(stats)
+    if len(stats) >= 4 + len(config.refine_schedule):
+        tuned = tune_caps(
+            config.replace(refine_caps=()), stats[4:], margin=1.35,
+            allow_grow=True,
+        )
+        if tuned is not None and tuned != config:
+            old, new = config.refine_caps, tuned.refine_caps
+            # Accept only cap-raising retunes (strict progress: caps are
+            # bounded by num_rays, so retune steps are finite before the
+            # doubling fallback takes over — e.g. when the overflow lives
+            # in the HIGH mid ladder, which caps don't govern).
+            if not old or (
+                all(b >= a for a, b in zip(new, old))
+                and any(b > a for a, b in zip(new, old))
+            ):
+                return tuned
+    return _widen(config)
+
+
+def _maybe_tune(params, orig_config: RenderConfig, config: RenderConfig,
+                rung_actives, *, margin: float) -> None:
+    """Teach the adaptive memo a rung-cap-tuned schedule from a successful
+    frame's per-rung stats (no-op when the config is ineligible). Applied by
+    every staged render path after its fast-path check passes; the NEXT
+    call's memo_lookup dispatches the tuned program."""
+    tuned = tune_caps(config, rung_actives, margin=margin)
+    if tuned is not None:
+        memo_teach(params, orig_config, tuned)
 
 
 def schedule_ok(active_count: int, steps_done: int, refine_overflow: int,
@@ -1167,7 +1332,7 @@ def check_fast(stats, config: RenderConfig) -> bool:
     stats = np.asarray(stats)  # defensive single fetch: per-element int()
     # on a device array would cost one tunnel round trip EACH
     active_count, steps_done, hit_count, refine_overflow = (
-        int(v) for v in stats
+        int(v) for v in stats[:4]
     )
     if not schedule_ok(active_count, steps_done, refine_overflow, config):
         return False
@@ -1208,7 +1373,7 @@ def render_staged(
     # memory (int() on a device array element costs a full tunnel round
     # trip EACH — four of them measured +112 ms/frame)
     active_count, steps_done, hit_count, refine_overflow = (
-        int(v) for v in stats
+        int(v) for v in stats[:4]
     )
     if stats_out is not None:
         # Per-frame observability (SURVEY.md §5 metrics row): everything the
@@ -1224,13 +1389,14 @@ def render_staged(
 
     if refine_overflow > 0:
         # Mixed-precision refinement bucket under-provisioned (huge
-        # foreground, e.g. a zoomed-in camera): retry with every refine
-        # bucket DOUBLED (divs halved). Rung 1 at div 1 spans the whole
-        # image and cannot overflow, so this terminates; each retry costs
-        # roughly one extra mixed render (~2x) instead of the ~7x of a
-        # march_precision="full" re-render, at one extra (cached) compile
-        # per doubling level actually reached.
-        widened = _widen(config)
+        # foreground, e.g. a zoomed-in camera): retry with the buckets
+        # RESIZED from this frame's own recorded rung stats (falling back
+        # to doubling every bucket — see _widen_or_retune). A bucket
+        # spanning the whole image cannot overflow, so this terminates;
+        # each retry costs roughly one extra mixed render (~2x) instead of
+        # the ~7x of a march_precision="full" re-render, at one extra
+        # (cached) compile per recovery level actually reached.
+        widened = _widen_or_retune(config, stats)
         if widened == config:
             # All buckets already span the image yet overflow persists
             # (cannot happen with the default schedules — terminal guard
@@ -1275,6 +1441,11 @@ def render_staged(
 
     n_rays = config.num_rays
     if check_fast(stats, config):
+        # Single-frame tuning uses a wider margin than render_sequence's
+        # batch-max (other poses of this config may carry a larger near
+        # set); a pose that still outgrows the caps re-fits via the
+        # overflow retune, so the margin need not cover the worst case.
+        _maybe_tune(params, orig_config, config, stats[4:], margin=1.35)
         return rgba
 
     # Slow path (rare): the schedule under-provisioned a bucket, max_steps
@@ -1412,9 +1583,13 @@ def render_sequence(
 
     n_rays = config.num_rays
     out = []
+    all_fast = True
     for (rgba, _), st, cam, fr in zip(queued, all_stats, cameras, frames):
-        active_count, steps_done, hit_count, refine_overflow = (int(v) for v in st)
+        active_count, steps_done, hit_count, refine_overflow = (
+            int(v) for v in st[:4]
+        )
         fast = check_fast(st, config)
+        all_fast = all_fast and fast
         if stats_out is not None:
             stats_out.append(
                 dict(rays=n_rays, steps=steps_done, hits=hit_count,
@@ -1430,11 +1605,19 @@ def render_sequence(
             # base-config render just to rediscover the overflow, and teach
             # the memo so the NEXT render_sequence call (and any remaining
             # turntable chunks) dispatches the working schedule directly.
-            widened = _widen(config)
+            widened = _widen_or_retune(config, st)
             out.append(render_staged(params, cam, widened, matcap, fr))
             memo_teach(params, orig_config, widened)
         else:
             out.append(render_staged(params, cam, config, matcap, fr))
+    if all_fast and len(all_stats) and all_stats.shape[1] > 4:
+        # Adaptive rung sizing from the whole batch: tune to the per-rung
+        # MAX over every frame (robust across the pose family actually
+        # rendered), so the next call dispatches right-sized buckets.
+        _maybe_tune(
+            params, orig_config, config,
+            np.max(all_stats[:, 4:], axis=0), margin=1.2,
+        )
     return out
 
 
@@ -1498,12 +1681,16 @@ class Renderer:
         if self._pending_check is not None:
             prev_stats, prev_cfg = self._pending_check
             st = np.asarray(prev_stats)  # overlaps the new frame's device work
+            fast = check_fast(st, prev_cfg)
             self.last_stats = dict(
                 steps=int(st[1]), hits=int(st[2]), unresolved=int(st[0]),
-                refine_overflow=int(st[3]), fast_path=check_fast(st, prev_cfg),
+                refine_overflow=int(st[3]), fast_path=fast,
             )
             if int(st[3]) > 0:
                 memo_teach(self.params, self.config, _widen(prev_cfg))
+            elif fast:
+                _maybe_tune(self.params, self.config, prev_cfg, st[4:],
+                            margin=1.35)
         self._pending_check = (stats, config)
         return rgba
 

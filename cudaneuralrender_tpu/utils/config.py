@@ -96,6 +96,23 @@ class RenderConfig:
     # benchmarks/exp_sched3.py: 86.7 -> 76.6 ms/frame vs the old
     # ((4,32),(32,96),(256,0)), exact hit-count parity.
     refine_schedule: Tuple[Tuple[int, int], ...] = ((4, 16), (8, 24), (32, 64), (256, 0))
+    # Explicit per-rung lane caps for the HIGHEST refine ladder, overriding
+    # each rung's default n//div bucket. () = use the divisors. Set by the
+    # stats-driven adaptive tuner (renderer.tune_caps): the default divisors
+    # are image-fraction guesses, so on most (geometry, camera) pairs the
+    # bounded rungs run partly empty — the recorded per-rung entry-active
+    # counts (stats[4:]) size the buckets to the measured near-set decay
+    # instead. Values are lane counts at THIS config's num_rays; sharded
+    # callers scale them to their bundle size (renderer._cap_for). Purely a
+    # performance hint: a cap the frame outgrows raises the same
+    # refine_overflow retry the divisor schedule uses (now also for
+    # stranded actives in LATER rungs), which doubles the caps and
+    # re-teaches the memo.
+    refine_caps: Tuple[int, ...] = ()
+    # Allow render paths to LEARN refine_caps from the per-rung stats of
+    # successful frames (through the adaptive-schedule memo). Disable for
+    # strictly reproducible dispatch behavior across calls.
+    adaptive_rungs: bool = True
     # march_precision="full" phase-A schedule (HIGHEST everywhere).
     fine_schedule: Tuple[Tuple[int, int], ...] = ((4, 48), (32, 192), (256, 0))
     compact_min: int = 2048
@@ -324,6 +341,11 @@ class RenderConfig:
             raise ValueError(f"unknown march_impl {self.march_impl!r}")
         if self.num_inputs not in (3, 4):
             raise ValueError("num_inputs must be 3 or 4")
+        if self.refine_caps and len(self.refine_caps) != len(self.refine_schedule):
+            raise ValueError(
+                "refine_caps must be empty or match refine_schedule length")
+        if any(c <= 0 for c in self.refine_caps):
+            raise ValueError("refine_caps entries must be positive")
         if self.coarse_precision not in ("default", "high"):
             raise ValueError(f"unknown coarse_precision {self.coarse_precision!r}")
         if self.cyl_window not in (3, 5):

@@ -283,3 +283,55 @@ def test_staged_sharded_animation_mode(eight_devices):
         single = np.asarray(cnr.render_staged(
             params, cam, cfg, frame=frame))
         np.testing.assert_array_equal(sharded, single)
+
+
+def test_per_shard_stats_and_interleave_balance(eight_devices, plane1_params):
+    """Per-shard observability (round-4 VERDICT item 2): the sharded staged
+    program all_gathers a per-shard stats block, surfaced as load-balance
+    metrics in stats_out; row-interleaved shard assignment keeps the
+    near-set spread tight (imbalance <= 5% on plane_1 512²/8) while
+    contiguous bands concentrate the object into few shards."""
+    from cudaneuralrender_tpu.ops import camera as camera_lib
+    from cudaneuralrender_tpu.parallel import sharding
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    cnr.reset_schedule_memo()
+    cfg = cnr.RenderConfig(
+        width=512, height=512, scene="neural_raw", max_steps=1200,
+        march_impl="staged", coarse_pallas=False, refine_pallas=False,
+        tail_pallas=False, adaptive_rungs=False,
+    )
+    m = mesh_lib.make_mesh((8,), ("data",), eight_devices)
+    cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
+    stats = {}
+    sharding.render_image_sharded_staged(
+        plane1_params, cam, cfg, m, stats_out=stats)
+    # The observability block is present and self-consistent.
+    assert len(stats["shard_near"]) == 8
+    assert sum(stats["shard_hits"]) == stats["hits"]
+    assert 0.0 < stats["predicted_scaling_efficiency"] <= 1.0
+    # Row-interleaving: every shard sees a statistically identical scene
+    # slice, so the near-set (refine entry) spread stays tight.
+    near = np.asarray(stats["shard_near"], dtype=np.float64)
+    interleaved_imb = near.max() / near.mean() - 1.0
+    assert interleaved_imb <= 0.05, stats["shard_near"]
+    assert stats["shard_imbalance"] <= 0.10, stats
+
+    # Contiguous bands (the layout _shard_pos_np rejects): run the same
+    # shard body on each band's indices and compare the near spread.
+    n_local = cfg.num_rays // 8
+    cam_to_world, world_to_cam = camera_lib.view_matrices(cam)
+    import jax.numpy as jnp_
+
+    near_bands = []
+    for s in range(8):
+        pos = jnp_.arange(s * n_local, (s + 1) * n_local, dtype=jnp_.int32)
+        _, _, rungs = sharding.staged_subset(
+            plane1_params, pos, cam_to_world, world_to_cam, cfg, None,
+            jnp_.float32(0.0), solve_only=True,
+        )
+        near_bands.append(int(np.asarray(rungs)[0]))
+    near_b = np.asarray(near_bands, dtype=np.float64)
+    contiguous_imb = near_b.max() / near_b.mean() - 1.0
+    assert contiguous_imb > 0.5, near_bands  # object concentrates in bands
+    assert interleaved_imb < contiguous_imb / 10

@@ -335,10 +335,11 @@ def test_overflow_widen_consistent_across_entry_points(plane1_params):
 
     assert all(w == learned[0] for w in learned), learned
     assert learned[0] != base, "overflow should have taught a widened config"
-    # Widening must halve BOTH ladders' divisors in lockstep.
-    r0 = base.refine_schedule[0][0] // learned[0].refine_schedule[0][0]
-    m0 = base.mid_schedule[0][0] // learned[0].mid_schedule[0][0]
-    assert r0 == m0 > 1
+    # Recovery is the ONE shared helper (_widen_or_retune): the HIGHEST
+    # ladder re-fits via stats-sized caps, and the HIGH mid ladder (which
+    # caps don't govern) widens by divisor halving.
+    assert learned[0].refine_caps, learned[0]
+    assert learned[0].mid_schedule[0][0] < base.mid_schedule[0][0]
 
 
 def test_schedule_memo_keyed_by_geometry(plane1_params, car1_path):
@@ -392,3 +393,93 @@ def test_schedule_memo_persists_across_processes(tmp_path, monkeypatch,
     other = cfg.replace(max_steps=400)
     assert renderer_lib.memo_lookup(params, other) == other
     cnr.reset_schedule_memo()
+
+
+def test_adaptive_caps_learned_and_parity(plane1_params):
+    """Adaptive rung sizing (round-4 VERDICT item 1): a successful staged
+    frame's per-rung stats teach SHRUNKEN explicit caps through the memo
+    (the memo now shrinks schedules, not only widens them); the tuned
+    dispatch is pixel-identical, caps never exceed the divisor defaults,
+    and they are non-increasing down the ladder (rung i sorts within rung
+    i-1's bucket)."""
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    cnr.reset_schedule_memo()
+    cfg = cnr.RenderConfig(width=128, height=128, scene="neural_raw",
+                           max_steps=600, march_impl="staged",
+                           compact_min=256)
+    cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
+    a = np.asarray(cnr.render_staged(plane1_params, cam, cfg))
+    tuned = renderer_lib.memo_lookup(plane1_params, cfg)
+    assert tuned.refine_caps, "fast frame should teach tuned caps"
+    n = cfg.num_rays
+    shrunk = False
+    for (div, _s), c in zip(cfg.refine_schedule, tuned.refine_caps):
+        base = max(n // div, cfg.compact_min)
+        assert c <= base
+        shrunk = shrunk or c < base
+    assert shrunk, tuned.refine_caps
+    caps = tuned.refine_caps
+    assert all(b <= a2 for a2, b in zip(caps, caps[1:])), caps
+    b = np.asarray(cnr.render_staged(plane1_params, cam, cfg))
+    np.testing.assert_array_equal(a, b)
+    cnr.reset_schedule_memo()
+
+
+def test_adaptive_caps_overflow_retunes(plane1_params):
+    """Caps a frame outgrows raise the refine-overflow retry, which RESIZES
+    them from the overflowing frame's own recorded rung stats
+    (renderer._widen_or_retune) — one retry, correct image, memo taught."""
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    cnr.reset_schedule_memo()
+    base = cnr.RenderConfig(width=64, height=64, scene="neural_raw",
+                            max_steps=300, march_impl="staged",
+                            compact_min=8)
+    tiny = base.replace(refine_caps=(16, 16, 16, 8))
+    cam = cnr.Camera()
+    stats = {}
+    img = np.asarray(cnr.render_staged(plane1_params, cam, tiny,
+                                       stats_out=stats))
+    assert not stats["fast_path"], stats  # the retry path ran (stats_out
+    # reflects the FINAL retried frame, whose own overflow is 0)
+    ref = np.asarray(cnr.render_staged(
+        plane1_params, cam, base.replace(adaptive_rungs=False)))
+    np.testing.assert_array_equal(img, ref)
+    # The retry taught caps sized to the measured entries, not a blind
+    # doubling of the hopeless 16-lane buckets.
+    learned = renderer_lib.memo_lookup(plane1_params, tiny)
+    assert learned.refine_caps and learned.refine_caps != tiny.refine_caps
+    assert learned.refine_caps[0] >= 16 * 4  # re-fitted, not just doubled
+    cnr.reset_schedule_memo()
+
+
+def test_widen_doubles_caps():
+    """_widen doubles explicit caps alongside halving divisors, clamped at
+    the image size (a bucket spanning the image cannot overflow, so the
+    retry loop terminates)."""
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    cfg = cnr.RenderConfig(width=64, height=64,
+                           refine_caps=(3000, 2000, 1000, 500))
+    w = renderer_lib._widen(cfg)
+    assert w.refine_caps == (4096, 4000, 2000, 1000)  # 3000*2 clamps at 4096
+    assert all(d2 == max(d // 2, 1) for (d, _), (d2, _) in
+               zip(cfg.refine_schedule, w.refine_schedule))
+
+
+def test_tune_caps_ineligible_paths():
+    """tune_caps returns None for non-mixed configs, disabled adaptivity,
+    already-capped configs, and mismatched stats lengths."""
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+
+    cfg = cnr.RenderConfig(width=512, height=512)
+    acts = [40000, 20000, 5000, 100]
+    assert renderer_lib.tune_caps(cfg, acts) is not None
+    assert renderer_lib.tune_caps(
+        cfg.replace(adaptive_rungs=False), acts) is None
+    assert renderer_lib.tune_caps(
+        cfg.replace(march_precision="full"), acts) is None
+    assert renderer_lib.tune_caps(
+        cfg.replace(refine_caps=(8192, 8192, 8192, 8192)), acts) is None
+    assert renderer_lib.tune_caps(cfg, acts[:2]) is None
