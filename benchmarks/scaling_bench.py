@@ -217,9 +217,28 @@ def main() -> int:
         if base is None:
             base = rays_s
         eff = rays_s / (base * n)
+        extra = ""
+        if args.staged and n > 1:
+            # Measured per-shard load balance (round-4 VERDICT item 2):
+            # wall-time efficiency on TIMESHARED virtual CPUs is
+            # meaningless, but the per-shard work distribution is exact —
+            # a sharded frame finishes with its slowest shard, so
+            # mean/max of per-shard scheduled refine work is the predicted
+            # real-mesh scaling efficiency (parallel.shard_load_stats).
+            st: dict = {}
+            from cudaneuralrender_tpu.parallel.sharding import (
+                render_image_sharded_staged,
+            )
+
+            render_image_sharded_staged(params, cam, cfg, mesh, stats_out=st)
+            pred = st.get("predicted_scaling_efficiency")
+            imb = st.get("shard_imbalance")
+            if pred is not None:
+                extra = (f"  shard-imbalance={imb*100:5.1f}%  "
+                         f"predicted-efficiency={pred*100:5.1f}%")
         print(
             f"devices={n:3d}: {dt*1e3:9.1f} ms/frame  {rays_s/1e6:8.2f} Mrays/s  "
-            f"efficiency={eff*100:5.1f}%",
+            f"wall-efficiency={eff*100:5.1f}%{extra}",
             flush=True,
         )
     return 0

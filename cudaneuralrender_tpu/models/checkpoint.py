@@ -87,6 +87,25 @@ def load_keras_h5(path: str, *, dtype=jnp.float32) -> MLPParams:
     return params
 
 
+def save_keras_h5(path: str, params: MLPParams) -> None:
+    """Write an MLP pytree as a Keras-layout HDF5 weight file — the exact
+    structure ``load_keras_h5`` (and the reference's NeuralNetwork::load,
+    neuralNetwork.cpp:91-134) parses: one top-level group per layer named
+    dense/dense_1/..., an inner group of the same name, datasets
+    ``kernel:0`` (in, out) and ``bias:0``, plus the ``layer_names`` root
+    attribute Keras writes. Geometries TRAINED by this framework
+    (diff/train.fit_sdf, examples/train_sdf.py) therefore ship in the same
+    format the whole pipeline — CLI, viewer, sharded render, and the CUDA
+    reference itself — already consumes."""
+    names = [f"dense_{i}" if i else "dense" for i in range(len(params))]
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array([n.encode() for n in names])
+        for name, layer in zip(names, params):
+            inner = f.create_group(name).create_group(name)
+            inner.create_dataset("kernel:0", data=np.asarray(layer.w))
+            inner.create_dataset("bias:0", data=np.asarray(layer.b))
+
+
 def save_pytree(path: str, params: MLPParams) -> None:
     """Save an MLP pytree as .npz (keys: w0,b0,w1,b1,...)."""
     arrays = {}

@@ -1510,6 +1510,44 @@ def render_staged(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config", "k"))
+def _render_scheduled_chunk(params, cams_stacked, config: RenderConfig,
+                            matcap, frames, k: int):
+    """k whole frames (march + packed shade + restore) as ONE program.
+
+    ``cams_stacked``: a Camera pytree with a leading [k] axis; ``frames``
+    [k]. A ``lax.scan`` over the frames runs the full `_render_scheduled`
+    body per slice — compiled once regardless of k — and stacks
+    (rgba [k, H, W, 4], stats [k, 4+R]).
+
+    Why fuse: over a remote-tunnel TPU each dispatched program carries
+    fixed per-dispatch overhead even when fully pipelined (measured
+    ~8-9 ms/frame at 1080p: render_sequence's one-program-per-frame mode
+    ran at 45.4 ms/frame against a 36.6 ms/frame fused marginal —
+    benchmarks/exp_r5_fused.py). Fusing k frames amortizes that overhead
+    to ~1 ms/frame; device work is identical, and the per-frame stats
+    still come back individually so the slow-path/overflow handling and
+    the adaptive tuner see exactly what they saw before.
+    """
+    def body(carry, xs):
+        cam, fr = xs
+        rgba, _pr, stats = _render_scheduled.__wrapped__(
+            params, cam, config, matcap, fr
+        )
+        return carry, (rgba, stats)
+
+    _, (rgbas, stats) = jax.lax.scan(
+        body, jnp.zeros((), jnp.int32), (cams_stacked, frames), length=k
+    )
+    return rgbas, stats
+
+
+def _stack_cameras(cams):
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]), *cams
+    )
+
+
 def render_sequence(
     params: Optional[MLPParams],
     cameras,
@@ -1519,6 +1557,7 @@ def render_sequence(
     *,
     stats_out: Optional[list] = None,
     warm_start: bool = False,
+    chunk: Optional[int] = None,
 ):
     """Pipelined multi-frame rendering — ONE host sync for the whole batch.
 
@@ -1548,7 +1587,35 @@ def render_sequence(
         frames = [0.0] * len(cameras)
     orig_config = config
     config = memo_lookup(params, config)
+    if chunk is None:
+        # Fuse 8 frames per dispatched program when the batch is long
+        # enough to amortize the fused program's one-time compile: the
+        # per-dispatch tunnel overhead (~8-9 ms/frame even pipelined)
+        # drops to ~1 ms/frame (_render_scheduled_chunk). Warm-start
+        # chains device state frame-to-frame and keeps the per-frame path.
+        chunk = 8 if (not warm_start and len(cameras) >= 8) else 1
     queued = []
+    if chunk > 1 and not warm_start:
+        k = int(chunk)
+        for i in range(0, len(cameras), k):
+            cams_i = list(cameras[i:i + k])
+            frs_i = [float(f) for f in frames[i:i + k]]
+            npad = k - len(cams_i)  # pad the tail chunk: k is jit-static,
+            # so padding reuses the one compiled program; extras dropped
+            if npad:
+                cams_i += [cams_i[-1]] * npad
+                frs_i += [frs_i[-1]] * npad
+            rgbas, sts = _render_scheduled_chunk(
+                params, _stack_cameras(cams_i), config, matcap,
+                jnp.asarray(frs_i, jnp.float32), k,
+            )
+            for j in range(k - npad):
+                queued.append((rgbas[j], sts[j]))
+        all_stats = np.asarray(jnp.stack([s for _, s in queued]))  # one sync
+        return _sequence_finish(
+            params, cameras, frames, queued, all_stats, config, orig_config,
+            matcap, stats_out,
+        )
     prev_state = prev2_state = None
     for cam, fr in zip(cameras, frames):
         fr = jnp.asarray(fr, jnp.float32)
@@ -1580,7 +1647,19 @@ def render_sequence(
             rgba, _, stats = _render_scheduled(params, cam, config, matcap, fr)
         queued.append((rgba, stats))
     all_stats = np.asarray(jnp.stack([s for _, s in queued]))  # one sync
+    return _sequence_finish(
+        params, cameras, frames, queued, all_stats, config, orig_config,
+        matcap, stats_out,
+    )
 
+
+def _sequence_finish(params, cameras, frames, queued, all_stats,
+                     config: RenderConfig, orig_config: RenderConfig,
+                     matcap, stats_out):
+    """Shared post-drain half of render_sequence: per-frame fast-path
+    checks, slow-path re-renders, stats_out reporting, and batch-max
+    adaptive tuning — identical for the per-frame and fused-chunk
+    dispatch modes."""
     n_rays = config.num_rays
     out = []
     all_fast = True

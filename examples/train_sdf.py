@@ -65,6 +65,14 @@ def main() -> int:
     ckpt = f"{args.out}.npz"
     cnr.save_pytree(ckpt, params)
     print(f"saved checkpoint: {ckpt}")
+    # Keras-layout twin: the format every pipeline entry point (CLI,
+    # viewer, sharded render — and the CUDA reference's own loader)
+    # consumes. examples/assets/csg_demo.h5 in the repo is this file,
+    # committed together with its golden render (tests/test_artifact.py).
+    from cudaneuralrender_tpu.models import checkpoint as ckpt_lib
+
+    ckpt_lib.save_keras_h5(f"{args.out}.h5", params)
+    print(f"saved Keras-layout checkpoint: {args.out}.h5")
 
     cfg = cnr.RenderConfig(width=args.render, height=args.render,
                            scene="neural_raw", max_steps=500)
