@@ -1588,12 +1588,14 @@ def render_sequence(
     orig_config = config
     config = memo_lookup(params, config)
     if chunk is None:
-        # Fuse 8 frames per dispatched program when the batch is long
-        # enough to amortize the fused program's one-time compile: the
-        # per-dispatch tunnel overhead (~8-9 ms/frame even pipelined)
-        # drops to ~1 ms/frame (_render_scheduled_chunk). Warm-start
-        # chains device state frame-to-frame and keeps the per-frame path.
-        chunk = 8 if (not warm_start and len(cameras) >= 8) else 1
+        # MEASURED NEUTRAL-TO-NEGATIVE at 1080p/32 frames (scan chunks
+        # 4/8/16: 46.0/47.1/48.0 ms/frame; unrolled 4/8: 44.1/47.4 vs
+        # per-frame 44.7): the per-frame dispatch overhead is already
+        # fully hidden by async pipelining on this tunnel, so fusing only
+        # adds scan/unroll bookkeeping. Kept as an explicit option for
+        # hosts whose dispatch path IS the bottleneck (e.g. slow Python,
+        # congested RPC links); parity is tested either way.
+        chunk = 1
     queued = []
     if chunk > 1 and not warm_start:
         k = int(chunk)

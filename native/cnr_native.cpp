@@ -167,8 +167,18 @@ static bool unfilter_scanlines(const std::vector<uint8_t>& raw, uint32_t h,
   return true;
 }
 
-// Decode a non-interlaced PNG (8-bit gray / gray+alpha / RGB / RGBA, or
-// palette at bit depth 1/2/4/8 with optional tRNS alpha) to RGBA.
+// Adam7 pass grids: x/y origins and strides per pass (PNG spec 8.2).
+constexpr uint32_t kA7x0[7] = {0, 4, 0, 2, 0, 1, 0};
+constexpr uint32_t kA7y0[7] = {0, 0, 4, 0, 2, 0, 1};
+constexpr uint32_t kA7dx[7] = {8, 8, 4, 4, 2, 2, 1};
+constexpr uint32_t kA7dy[7] = {8, 8, 8, 4, 4, 2, 2};
+
+// Decode a PNG to 8-bit RGBA. Full flavor coverage (parity with the
+// vendored lodepng the reference shipped, lodepng.h:129-138): color types
+// gray / RGB / palette / gray+alpha / RGBA, bit depths 1/2/4/8/16 where
+// the spec allows them, tRNS alpha for palette images, and both
+// interlace methods (none / Adam7). 16-bit samples reduce to their high
+// byte (the standard 16->8 conversion).
 bool decode_png_mem(const uint8_t* data, size_t len, std::vector<uint8_t>& rgba,
                     uint32_t* out_w, uint32_t* out_h) {
   if (len < 8 || memcmp(data, kPngSig, 8) != 0) return false;
@@ -201,70 +211,109 @@ bool decode_png_mem(const uint8_t* data, size_t len, std::vector<uint8_t>& rgba,
     }
     pos += 12 + clen;
   }
-  if (!w || !h || interlace != 0) return false;
+  if (!w || !h || (interlace != 0 && interlace != 1)) return false;
 
-  if (color_type == 3) {
-    // Palette image: scanlines carry packed indices (MSB-first within a
-    // byte below depth 8); PLTE maps index -> rgb, tRNS -> alpha.
-    if (!(bit_depth == 1 || bit_depth == 2 || bit_depth == 4 ||
-          bit_depth == 8) || palette.empty())
-      return false;
-    size_t stride = (size_t(w) * bit_depth + 7) / 8;
-    std::vector<uint8_t> raw, pix;
-    if (!zlib_inflate(idat.data(), idat.size(), raw, (stride + 1) * h))
-      return false;
-    if (!unfilter_scanlines(raw, h, stride, 1, pix)) return false;
-    size_t n_entries = palette.size() / 3;
-    rgba.resize(size_t(w) * h * 4);
-    for (uint32_t y = 0; y < h; y++) {
-      const uint8_t* row = &pix[y * stride];
-      for (uint32_t x = 0; x < w; x++) {
-        uint32_t idx;
-        if (bit_depth == 8) {
-          idx = row[x];
-        } else {
-          uint32_t bitpos = x * bit_depth;
-          idx = (row[bitpos >> 3] >> (8 - bit_depth - (bitpos & 7))) &
-                ((1u << bit_depth) - 1);
-        }
-        if (idx >= n_entries) return false;
-        uint8_t* d = &rgba[(size_t(y) * w + x) * 4];
-        d[0] = palette[idx * 3];
-        d[1] = palette[idx * 3 + 1];
-        d[2] = palette[idx * 3 + 2];
-        d[3] = idx < trns.size() ? trns[idx] : 255;
-      }
-    }
-    *out_w = w;
-    *out_h = h;
-    return true;
-  }
-
-  if (bit_depth != 8) return false;
+  // Samples per pixel and legal bit depths per color type (PNG spec 11.2.2).
   int channels;
   switch (color_type) {
-    case 0: channels = 1; break;  // gray
-    case 2: channels = 3; break;  // rgb
-    case 4: channels = 2; break;  // gray+alpha
-    case 6: channels = 4; break;  // rgba
+    case 0: channels = 1; break;  // gray: depths 1/2/4/8/16
+    case 2: channels = 3; break;  // rgb: 8/16
+    case 3: channels = 1; break;  // palette index: 1/2/4/8
+    case 4: channels = 2; break;  // gray+alpha: 8/16
+    case 6: channels = 4; break;  // rgba: 8/16
     default: return false;
   }
+  bool sub_byte_ok = (color_type == 0 || color_type == 3);
+  bool sixteen_ok = (color_type != 3);
+  if (bit_depth == 16 && !sixteen_ok) return false;
+  if ((bit_depth == 1 || bit_depth == 2 || bit_depth == 4) && !sub_byte_ok)
+    return false;
+  if (!(bit_depth == 1 || bit_depth == 2 || bit_depth == 4 || bit_depth == 8 ||
+        bit_depth == 16))
+    return false;
+  if (color_type == 3 && palette.empty()) return false;
 
-  size_t stride = size_t(w) * channels;
-  std::vector<uint8_t> raw, pix;
-  if (!zlib_inflate(idat.data(), idat.size(), raw, (stride + 1) * h)) return false;
-  if (!unfilter_scanlines(raw, h, stride, channels, pix)) return false;
+  size_t bits_pp = size_t(channels) * bit_depth;
+  int bpp = int((bits_pp + 7) / 8);  // filter byte distance, min 1
+  if (bpp < 1) bpp = 1;
 
-  // expand to RGBA
-  rgba.resize(size_t(w) * h * 4);
-  for (size_t i = 0; i < size_t(w) * h; i++) {
-    const uint8_t* s = &pix[i * channels];
-    uint8_t* d = &rgba[i * 4];
-    switch (channels) {
-      case 1: d[0] = d[1] = d[2] = s[0]; d[3] = 255; break;
-      case 2: d[0] = d[1] = d[2] = s[0]; d[3] = s[1]; break;
-      case 3: d[0] = s[0]; d[1] = s[1]; d[2] = s[2]; d[3] = 255; break;
-      case 4: memcpy(d, s, 4); break;
+  // Pass geometry: one full pass, or the 7 Adam7 sub-grids.
+  int n_passes = interlace ? 7 : 1;
+  uint32_t pw[7], ph[7];
+  size_t pstride[7], expected = 0;
+  for (int p = 0; p < n_passes; p++) {
+    if (interlace) {
+      pw[p] = w > kA7x0[p] ? (w - kA7x0[p] + kA7dx[p] - 1) / kA7dx[p] : 0;
+      ph[p] = h > kA7y0[p] ? (h - kA7y0[p] + kA7dy[p] - 1) / kA7dy[p] : 0;
+    } else {
+      pw[p] = w;
+      ph[p] = h;
+    }
+    pstride[p] = (size_t(pw[p]) * bits_pp + 7) / 8;
+    if (pw[p] && ph[p]) expected += (pstride[p] + 1) * ph[p];
+  }
+
+  std::vector<uint8_t> raw;
+  if (!zlib_inflate(idat.data(), idat.size(), raw, expected)) return false;
+
+  size_t n_entries = palette.size() / 3;
+  // Gray sub-8 scale factor: v * 255 / (2^d - 1).
+  int gray_scale = bit_depth < 8 ? 255 / ((1 << bit_depth) - 1) : 1;
+  int sample_bytes = bit_depth == 16 ? 2 : 1;
+
+  rgba.assign(size_t(w) * h * 4, 0);
+  size_t off = 0;
+  for (int p = 0; p < n_passes; p++) {
+    if (!pw[p] || !ph[p]) continue;
+    std::vector<uint8_t> sub(raw.begin() + off,
+                             raw.begin() + off + (pstride[p] + 1) * ph[p]);
+    off += (pstride[p] + 1) * ph[p];
+    std::vector<uint8_t> pix;
+    if (!unfilter_scanlines(sub, ph[p], pstride[p], bpp, pix)) return false;
+
+    for (uint32_t j = 0; j < ph[p]; j++) {
+      const uint8_t* row = &pix[j * pstride[p]];
+      for (uint32_t i = 0; i < pw[p]; i++) {
+        uint32_t x = interlace ? kA7x0[p] + i * kA7dx[p] : i;
+        uint32_t y = interlace ? kA7y0[p] + j * kA7dy[p] : j;
+        uint8_t* d = &rgba[(size_t(y) * w + x) * 4];
+        if (bit_depth < 8) {
+          uint32_t bitpos = i * bit_depth;
+          uint32_t v = (row[bitpos >> 3] >> (8 - bit_depth - (bitpos & 7))) &
+                       ((1u << bit_depth) - 1);
+          if (color_type == 3) {
+            if (v >= n_entries) return false;
+            d[0] = palette[v * 3];
+            d[1] = palette[v * 3 + 1];
+            d[2] = palette[v * 3 + 2];
+            d[3] = v < trns.size() ? trns[v] : 255;
+          } else {  // sub-8 gray
+            uint8_t g = uint8_t(v * gray_scale);
+            d[0] = d[1] = d[2] = g;
+            d[3] = 255;
+          }
+          continue;
+        }
+        // 8/16-bit samples: take the high byte of each (16->8 standard).
+        const uint8_t* s = &row[size_t(i) * channels * sample_bytes];
+        uint8_t c0 = s[0];
+        uint8_t c1 = channels > 1 ? s[1 * sample_bytes] : 0;
+        uint8_t c2 = channels > 2 ? s[2 * sample_bytes] : 0;
+        uint8_t c3 = channels > 3 ? s[3 * sample_bytes] : 0;
+        switch (color_type) {
+          case 0: d[0] = d[1] = d[2] = c0; d[3] = 255; break;
+          case 3:
+            if (c0 >= n_entries) return false;
+            d[0] = palette[c0 * 3];
+            d[1] = palette[c0 * 3 + 1];
+            d[2] = palette[c0 * 3 + 2];
+            d[3] = c0 < trns.size() ? trns[c0] : 255;
+            break;
+          case 4: d[0] = d[1] = d[2] = c0; d[3] = c1; break;
+          case 2: d[0] = c0; d[1] = c1; d[2] = c2; d[3] = 255; break;
+          case 6: d[0] = c0; d[1] = c1; d[2] = c2; d[3] = c3; break;
+        }
+      }
     }
   }
   *out_w = w;
