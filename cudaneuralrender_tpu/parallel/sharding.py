@@ -405,6 +405,91 @@ def _staged_sharded_program(
     return out, stats
 
 
+_ENC_MAX = 16  # max rungs per ladder the broadcast encoding carries
+
+
+def _encode_sched(cfg: RenderConfig) -> np.ndarray:
+    """Fixed-size int64 encoding of the memo-learned schedule fields
+    (refine_schedule, mid_schedule, refine_caps) for the cross-host
+    broadcast."""
+    v = np.zeros(3 + _ENC_MAX * 5, np.int64)
+    r, m, c = cfg.refine_schedule, cfg.mid_schedule, cfg.refine_caps
+    v[0], v[1], v[2] = len(r), len(m), len(c)
+    for i, (d, s) in enumerate(r[:_ENC_MAX]):
+        v[3 + 2 * i], v[4 + 2 * i] = d, s
+    off = 3 + 2 * _ENC_MAX
+    for i, (d, s) in enumerate(m[:_ENC_MAX]):
+        v[off + 2 * i], v[off + 1 + 2 * i] = d, s
+    off = 3 + 4 * _ENC_MAX
+    for i, cap in enumerate(c[:_ENC_MAX]):
+        v[off + i] = cap
+    return v
+
+
+def _decode_sched(cfg: RenderConfig, v: np.ndarray) -> RenderConfig:
+    nr, nm, nc = int(v[0]), int(v[1]), int(v[2])
+    r = tuple((int(v[3 + 2 * i]), int(v[4 + 2 * i])) for i in range(nr))
+    off = 3 + 2 * _ENC_MAX
+    m = tuple((int(v[off + 2 * i]), int(v[off + 1 + 2 * i])) for i in range(nm))
+    off = 3 + 4 * _ENC_MAX
+    c = tuple(int(v[off + i]) for i in range(nc))
+    return cfg.replace(refine_schedule=r, mid_schedule=m, refine_caps=c)
+
+
+def _memo_lookup_synced(params, config: RenderConfig) -> RenderConfig:
+    """Adaptive-memo lookup that is SAFE in multi-host worlds.
+
+    Single-process: plain memo_lookup. Multi-process: rank 0's entry
+    (including anything in its persistent store) is broadcast so every
+    process dispatches the SAME program — previously the lookup was
+    skipped entirely to avoid divergent SPMD programs, so every pod
+    restart re-paid the overflow double-render per (geometry, config)
+    (round-4 VERDICT item 6). The broadcast result is memoized into the
+    in-process memo, so the tiny collective runs once per (geometry,
+    config) per process lifetime; runtime teaching stays consistent
+    because retries are driven by the replicated stats vector every
+    process fetches identically.
+    """
+    if jax.process_count() == 1:
+        return renderer_lib.memo_lookup(params, config)
+    from ..utils import memo as memo_store
+
+    tag = memo_store.geom_tag(params)
+    key = (tag, config)
+    if key in _BCAST_DONE:
+        # Post-sync lookups read the in-process memo: symmetric, because
+        # every rank ran the same first-call broadcast (below) and
+        # subsequent teaching happens in lockstep retries. NOTE the skip
+        # must key on the sync marker, NOT on a memo hit — a rank-0-only
+        # local entry (persistent store, earlier single-host session)
+        # would otherwise return early on rank 0 while the other ranks
+        # enter the collective alone and deadlock.
+        return renderer_lib._SCHEDULE_MEMO.get(key, config)
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        vec = _encode_sched(renderer_lib.memo_lookup(params, config))
+    else:
+        vec = np.zeros(3 + _ENC_MAX * 5, np.int64)
+    vec = np.asarray(multihost_utils.broadcast_one_to_all(vec))
+    try:
+        looked = _decode_sched(config, vec)
+        looked.validate()
+    except Exception:
+        looked = config  # malformed entry: fall back consistently (all
+        # processes decoded the same vector, so all fall back together)
+    if looked != config:
+        renderer_lib._SCHEDULE_MEMO[key] = looked
+    _BCAST_DONE.add(key)
+    return looked
+
+
+#: (tag, config) keys whose rank-0 memo entry has been broadcast world-wide
+#: this process lifetime (cleared by utils.memo.reset_store via
+#: cnr.reset_schedule_memo).
+_BCAST_DONE: set = set()
+
+
 def _sharded_fast(stats, config: RenderConfig) -> bool:
     active, steps, hits, ovf, shade_excess = (
         int(v) for v in np.asarray(stats)[:5]
@@ -491,12 +576,7 @@ def render_image_sharded_staged(
     """
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
-    if jax.process_count() == 1:
-        # Multi-host worlds skip the memo LOOKUP: a persisted entry present
-        # on one host but not another would dispatch different programs and
-        # deadlock the SPMD step. Widening retries stay consistent — they
-        # are driven by the replicated stats vector every process fetches.
-        config = renderer_lib.memo_lookup(params, config)
+    config = _memo_lookup_synced(params, config)
     rgba_flat, stats = _staged_sharded_program(
         params, camera, config, mesh, matcap, frame, data_axis
     )
@@ -554,8 +634,7 @@ def solve_surface_sharded(
     diff/solve.py::solve_surface analogue on a mesh)."""
     frame = jnp.asarray(frame, jnp.float32)
     orig_config = config
-    if jax.process_count() == 1:  # see render_image_sharded_staged
-        config = renderer_lib.memo_lookup(params, config)
+    config = _memo_lookup_synced(params, config)
     (t, hit), stats = _staged_sharded_program(
         params, camera, config, mesh, None, frame, data_axis, solve_only=True
     )

@@ -122,6 +122,15 @@ def reset_store(clear_file: bool = False) -> None:
     """Forget the in-process store cache (and optionally the file)."""
     global _STORE
     _STORE = None
+    try:  # also forget which entries were broadcast cross-host (lazy
+        # import: parallel.sharding may not be loaded yet)
+        import sys
+
+        sh = sys.modules.get("cudaneuralrender_tpu.parallel.sharding")
+        if sh is not None:
+            sh._BCAST_DONE.clear()
+    except Exception:
+        pass
     if clear_file:
         path = _store_path()
         if path and os.path.exists(path):

@@ -70,6 +70,34 @@ def main() -> int:
     img_s = multihost.render_global(params, cam, s_cfg, mesh)
     multihost.write_local_tiles(img_s, outdir, "gspmd_staged")
 
+    # 4c. Memo broadcast (round-4 VERDICT item 6): an adaptive-schedule
+    #     entry known ONLY to rank 0 (e.g. from its persistent store) must
+    #     reach every process through _memo_lookup_synced, so the whole
+    #     world dispatches the taught schedule in lockstep — zero overflow
+    #     retries on a config whose BASE schedule is overflow-prone.
+    from cudaneuralrender_tpu.render import renderer as renderer_lib
+    from cudaneuralrender_tpu.utils import memo as memo_store
+
+    prone = cfg.replace(
+        march_impl="staged", coarse_pallas=False, refine_pallas=False,
+        compact_min=8, refine_schedule=((1024, 4), (1024, 0)),
+        adaptive_rungs=False,
+    )
+    memo_store.tag_geometry(params, "plane_1.h5")
+    if pid == 0:
+        taught = prone.replace(refine_schedule=((1, 4), (1, 0)))
+        renderer_lib.memo_teach(params, prone, taught)
+    from cudaneuralrender_tpu.parallel.sharding import (
+        render_image_sharded_staged,
+    )
+
+    st_memo: dict = {}
+    render_image_sharded_staged(params, cam, prone, mesh, stats_out=st_memo)
+    assert st_memo["fast_path"], (pid, st_memo)
+    assert st_memo["refine_overflow"] == 0, (pid, st_memo)
+    np.save(os.path.join(outdir, f"memo_fast_p{pid}.npy"),
+            np.asarray([1 if st_memo["fast_path"] else 0]))
+
     # 5. One cross-host training step: pixel targets tile-sharded over the
     #    global mesh, weight grads psummed across hosts over the coordinated
     #    backend. Loss must equal the single-process step.

@@ -127,3 +127,13 @@ def test_gspmd_staged_tiles_match_single_process(multihost_run, plane1_params):
     want = np.asarray(cnr.render_staged(plane1_params, cam, cfg))
     img = multihost.assemble_tiles(multihost_run, "gspmd_staged")
     np.testing.assert_array_equal(img, want)
+
+
+def test_memo_broadcast_reaches_every_process(multihost_run):
+    """An adaptive-schedule entry known only to rank 0 must be broadcast so
+    the whole world dispatches the taught schedule with zero overflow
+    retries (round-4 VERDICT item 6; the workers assert fast_path and
+    refine_overflow==0 in-process and write these flags)."""
+    for pid in (0, 1):
+        flag = np.load(os.path.join(multihost_run, f"memo_fast_p{pid}.npy"))
+        assert flag[0] == 1
