@@ -43,14 +43,7 @@ from .fused_mlp import (
 
 
 def _march_megakernel(
-    dirs_ref,      # [3, T] ray directions (transposed)
-    t0_ref,        # [1, T] starting ray parameter
-    budget0_ref,   # [1, T] march budget (tfar)
-    active0_ref,   # [1, T] float mask: 1 = march this ray
-    origin_ref,    # [3, 1] shared eye origin
-    frame_ref,     # [1, 1] animation frame number
-    steps0_ref,    # [1, 1] float: steps already taken (tail continuation)
-    *refs,         # weights + biases + outputs (see below)
+    *all_refs,     # see ref layouts below
     n_layers: int,
     hidden: int,
     n_inputs: int,
@@ -62,10 +55,26 @@ def _march_megakernel(
     relax_omega: float = 0.0,
     three_pass: bool = False,
     track_resolve: bool = False,
+    raygen: tuple | None = None,
 ):
-    # refs layout: three_pass -> (w_hi [L,H,H] bf16, w_lo [L,H,H] bf16,
+    # Ref layouts.
+    #   raygen=None (continue an existing state):
+    #     dirs [3,T], t0 [1,T], budget0 [1,T], active0 [1,T],
+    #     origin [3,1], frame [1,1], steps0 [1,1], weights..., outs...
+    #   raygen=(W, H, focal, bound_center, bound_radius) (cold start —
+    #   the coarse phase): rays are GENERATED in-kernel from the carried
+    #   pixel index, eliminating the dense XLA ray-build + init pass and
+    #   its [N,3] HBM round trips (~3.4 ms at 1080p):
+    #     pos [1,T] int32 (pixel index, -1 = pad lane), c2w [3,4],
+    #     frame [1,1], steps0 [1,1], weights..., outs...
+    # weights: three_pass -> (w_hi [L,H,H] bf16, w_lo [L,H,H] bf16,
     # b [L,H]); else -> (w [L,H,H] f32, b [L,H]). Then the five outputs:
     # t, conv, budget, active, steps — all [1, T].
+    if raygen is None:
+        (dirs_ref, t0_ref, budget0_ref, active0_ref, origin_ref, frame_ref,
+         steps0_ref, *refs) = all_refs
+    else:
+        pos_ref, c2w_ref, frame_ref, steps0_ref, *refs = all_refs
     if three_pass:
         w_hi_ref, w_lo_ref, b_ref = refs[:3]
         outs = refs[3:]
@@ -78,8 +87,52 @@ def _march_megakernel(
     # global counter); the staged renderer also uses it directly as the
     # per-ray difficulty key for ordered packing (ops/compaction.py).
     t_out, conv_out, budget_out, active_out, steps_out = outs
-    dirs = dirs_ref[:]
-    origin = origin_ref[:]
+    if raygen is None:
+        dirs = dirs_ref[:]
+        origin = origin_ref[:]
+        t_init = t0_ref[:]
+        budget_init = budget0_ref[:]
+        active_init = active0_ref[:]
+    else:
+        # In-kernel ray generation + bounding-sphere init, mirroring
+        # camera.ray_dirs_from_index + march.init_state (same formulas and
+        # op order; per-lane results agree to f32 ulps — absorbed by the
+        # refine ladder's HIGHEST re-march exactly like any coarse noise).
+        img_w, img_h, focal, bcenter, bradius = raygen
+        c2w = c2w_ref[:]                      # [3, 4]
+        origin = c2w[:, 3:4]                  # [3, 1]
+        pos = pos_ref[:]                      # [1, T] int32
+        x = (pos % img_w).astype(jnp.float32)
+        y = (pos // img_w).astype(jnp.float32)
+        u = (x / img_w) * 2.0 - 1.0
+        v = (y / img_h) * 2.0 - 1.0
+        fw = jnp.full_like(u, -float(focal))
+        inv = 1.0 / jnp.sqrt(u * u + v * v + fw * fw)
+        du, dv, dw = u * inv, v * inv, fw * inv
+        r = c2w[:, :3]
+        dirs = jnp.concatenate(
+            [
+                r[0, 0] * du + r[0, 1] * dv + r[0, 2] * dw,
+                r[1, 0] * du + r[1, 1] * dv + r[1, 2] * dw,
+                r[2, 0] * du + r[2, 1] * dv + r[2, 2] * dw,
+            ],
+            axis=0,
+        )  # [3, T]
+        bcx, bcy, bcz = (float(v) for v in bcenter)
+        qx = origin[0:1, :] - bcx   # [1,1] — scalar center components stay
+        qy = origin[1:2, :] - bcy   # Python floats (a captured [3] array
+        qz = origin[2:3, :] - bcz   # would be an illegal kernel constant)
+        a = jnp.sum(dirs * dirs, axis=0, keepdims=True)
+        b = 2.0 * (qx * dirs[0:1, :] + qy * dirs[1:2, :] + qz * dirs[2:3, :])
+        c = qx * qx + qy * qy + qz * qz - float(bradius) * float(bradius)
+        disc = b * b - 4.0 * a * c
+        hit = disc > 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        tnear = jnp.maximum((-b - sq) / (2.0 * a), 0.0)
+        tfar = (-b + sq) / (2.0 * a)
+        t_init = jnp.where(hit, tnear, 0.0)
+        budget_init = jnp.where(hit, tfar, 0.0)
+        active_init = (hit & (pos >= 0)).astype(jnp.float32)
     T = dirs.shape[1]
     relax = bool(relax_omega and relax_omega > 1.0)
 
@@ -159,14 +212,14 @@ def _march_megakernel(
 
     init = (
         start,
-        t0_ref[:],
-        budget0_ref[:],
-        active0_ref[:],
-        jnp.zeros_like(active0_ref[:]),
-        jnp.full_like(t0_ref[:], jnp.float32(0.0)) + start.astype(jnp.float32),
+        t_init,
+        budget_init,
+        active_init,
+        jnp.zeros_like(active_init),
+        jnp.zeros_like(t_init) + start.astype(jnp.float32),
     )
     if relax:
-        init = init + (jnp.zeros_like(t0_ref[:]), jnp.zeros_like(t0_ref[:]))
+        init = init + (jnp.zeros_like(t_init), jnp.zeros_like(t_init))
     final = jax.lax.while_loop(cond, body, init)
     step, t, budget, active, conv, res = final[:6]
     t_out[:] = t
@@ -314,6 +367,114 @@ def march_pallas_state(
         budget=budget[0, :n],
         active=(active[0, :n] > 0.5) & state.active,
         converged=(conv[0, :n] > 0.5) | state.converged,
+        steps=new_steps,
+    )
+    if return_resolve:
+        return out_state, steps_arr[0, :n]
+    return out_state
+
+
+def march_pallas_raygen(
+    params: MLPParams,
+    cam_to_world: jax.Array,
+    pos: jax.Array,
+    config: RenderConfig,
+    frame: jax.Array | float = 0.0,
+    *,
+    tile: int = 8192,
+    interpret: bool = False,
+    march_eps: float | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    relax_omega: float = 0.0,
+    return_resolve: bool = False,
+    cyl_window: int | None = None,
+):
+    """Cold-start megakernel march with IN-KERNEL ray generation.
+
+    ``pos`` [n] int32 pixel indices (any order — the staged renderer's
+    block-major layout, a sharded subset's band, ...). Each tile computes
+    its own ray directions and bounding-sphere init from the index and the
+    [3,4] cam_to_world matrix, so the dense XLA ray-build + init pass (and
+    its [N,3]/[1,N]x4 HBM round trips — measured ~3.4 ms at 1080p) never
+    runs. Semantics mirror camera.ray_dirs_from_index + march.init_state
+    to f32 ulps. Returns a fresh MarchState (steps from 0), plus the
+    per-ray resolve step with ``return_resolve=True``.
+    """
+    weights, biases, n_in, hidden = pack_params(params)
+    tile = min(tile, max_tile_for_width(
+        hidden, weights.shape[0],
+        three_pass=(precision == jax.lax.Precision.HIGH)))
+    n = pos.shape[0]
+    n_tiles = pl.cdiv(n, tile)
+    n_pad = n_tiles * tile
+    compose = scenes.compose_fn(
+        config.scene,
+        config.cyl_window if cyl_window is None else cyl_window,
+    )
+    if compose is None:
+        raise ValueError(
+            f"megakernel does not support scene {config.scene!r}; "
+            "the XLA march path handles it"
+        )
+    three_pass = precision == jax.lax.Precision.HIGH
+    if three_pass:
+        weight_inputs = (*split_hi_lo(weights), biases)
+    else:
+        weight_inputs = (weights, biases)
+
+    pos_pad = jnp.full((1, n_pad), -1, jnp.int32).at[0, :n].set(
+        pos.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _march_megakernel,
+        n_layers=weights.shape[0],
+        hidden=hidden,
+        n_inputs=config.num_inputs,
+        max_steps=config.max_steps,
+        march_eps=config.march_eps if march_eps is None else march_eps,
+        compose=compose,
+        precision=precision,
+        num_steps=None,
+        relax_omega=relax_omega,
+        three_pass=three_pass,
+        track_resolve=return_resolve,
+        raygen=(config.width, config.height, config.focal,
+                config.bound_center, config.bound_radius),
+    )
+
+    row_spec = lambda: pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    t_arr, conv, budget, active, steps_arr = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cam_to_world [3,4]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # frame [1,1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # steps0 [1,1]
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_inputs),
+        out_specs=(row_spec(), row_spec(), row_spec(), row_spec(), row_spec()),
+        interpret=interpret,
+    )(
+        pos_pad,
+        cam_to_world.astype(jnp.float32),
+        jnp.reshape(jnp.asarray(frame, jnp.float32), (1, 1)),
+        jnp.zeros((1, 1), jnp.float32),
+        *weight_inputs,
+    )
+
+    new_steps = jnp.max(steps_arr[0, :n]).astype(jnp.int32)
+    out_state = march.MarchState(
+        t=t_arr[0, :n],
+        budget=budget[0, :n],
+        active=active[0, :n] > 0.5,
+        converged=conv[0, :n] > 0.5,
         steps=new_steps,
     )
     if return_resolve:

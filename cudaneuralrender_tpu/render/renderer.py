@@ -605,6 +605,14 @@ def _scheduled_march(params, cam_to_world, origin, dirs, config: RenderConfig, f
         from ..pallas import megakernel
         from ..pallas.fused_mlp import should_interpret
 
+        # NOTE: generating the rays INSIDE the kernel
+        # (megakernel.march_pallas_raygen) measured NEGATIVE here — 10.31
+        # vs 9.05 ms for the whole coarse block at 1080p (pipelined
+        # protocol): XLA fuses the standalone ~3.4 ms ray-build+init into
+        # the kernel's input production nearly for free, while the
+        # in-kernel integer div/mod + rsqrt prologue costs ~5 us per tile
+        # x 254 sequential tiles. Kept as an API for callers that cannot
+        # afford the [N,3] buffers at all (memory-bound megapixel counts).
         pos0 = None
         if pos is not None:
             # Sharded caller: lanes already carry global indices in the
