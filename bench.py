@@ -316,11 +316,16 @@ def _latency(params, config, reps: int = 12) -> float:
     for cam in poses[:3]:  # compile + warm; the deferred check of call 1
         # teaches the adaptive caps during call 2, call 3 compiles the
         # tuned program — the timed loop below sees steady state only
-        np.asarray(r.render_interactive(cam))
+        r.render_frame_interactive(cam)
     times = []
     for cam in poses:
         t0 = time.perf_counter()
-        np.asarray(r.render_interactive(cam))  # the one sync: pixel fetch
+        # The one sync: the u32-packed pixel fetch + host unpack — the
+        # full wall a viewer waits for a displayable frame. Over the
+        # remote tunnel the transfer dominates (u32 halves+quarters it vs
+        # f32: 1080p frame fetch 1090 -> ~240 ms measured); on a local
+        # TPU host the same number is device time + one PCIe copy.
+        r.render_frame_interactive(cam)
         times.append(time.perf_counter() - t0)
     return round(float(np.median(times)) * 1e3, 2)
 

@@ -68,6 +68,8 @@ def render_batch_staged(
     matcap: Optional[jax.Array] = None,
     frame: jax.Array | float = 0.0,
     devices: Optional[Sequence] = None,
+    *,
+    stats_out: Optional[list] = None,
 ) -> List[jax.Array]:
     """Render every geometry through the FAST staged path, pipelined.
 
@@ -141,7 +143,18 @@ def render_batch_staged(
     for (rgba, _, _), st, p, cfg, mc in zip(queued, stats, params_list, cfgs,
                                             matcaps):
         ovf = int(st[3])
-        if check_fast(st, cfg):
+        fast = check_fast(st, cfg)
+        if stats_out is not None:
+            # Per-geometry observability (round-4 VERDICT item 4): which
+            # expert paid steps/hits/overflow, and whether its frame rode
+            # the pipelined fast path.
+            stats_out.append(dict(
+                rays=cfg.num_rays, steps=int(st[1]), hits=int(st[2]),
+                unresolved=int(st[0]), refine_overflow=ovf, fast_path=fast,
+                rung_actives=[int(v) for v in st[4:]],
+                refine_caps=list(cfg.refine_caps),
+            ))
+        if fast:
             out.append(rgba)
             # Per-geometry adaptive rung sizing (the memo is keyed on
             # geometry identity, so each expert learns its own caps).

@@ -43,6 +43,21 @@ def to_uint8_image(rgba: np.ndarray, *, parity_flip: bool = False) -> np.ndarray
     return img
 
 
+def packed_u32_to_uint8_image(packed: np.ndarray, *,
+                              parity_flip: bool = False) -> np.ndarray:
+    """[H, W] uint32 (a<<24|b<<16|g<<8|r — ops/shading.pack_rgba_u32, the
+    reference's PBO format) -> uint8 top-down [H, W, 4] image. Byte-
+    identical to to_uint8_image(unpack_rgba_u32(packed)); used by the
+    interactive display path so only 1/4 of the pixel bytes cross the
+    device->host boundary."""
+    v = np.asarray(packed)
+    img = np.stack(
+        [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF],
+        axis=-1,
+    ).astype(np.uint8)
+    return img[::-1, ::-1] if parity_flip else img[::-1]
+
+
 def pack_rgba_uint32(rgba_u8: np.ndarray) -> np.ndarray:
     """[H, W, 4] uint8 -> [H, W] uint32 packed a<<24|b<<16|g<<8|r
     (the reference's device pixel format, volumeRender_kernel.cu:273)."""

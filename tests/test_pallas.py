@@ -319,3 +319,43 @@ def test_megakernel_wide_mlp_render():
         params, cnr.Camera(), cfg, tile=4096, interpret=True))
     img_d = np.asarray(cnr.render_image(params, cnr.Camera(), cfg))
     np.testing.assert_allclose(img_k, img_d, atol=1e-5)
+
+
+def test_march_pallas_raygen_matches_xla_init(plane1_params):
+    """march_pallas_raygen (in-kernel ray generation from pixel indices)
+    must agree with the XLA ray-build + init + kernel path: same
+    convergence set, t within coarse-epsilon-level tolerance (the two
+    builds differ by f32 ulps that the coarse march may amplify near the
+    silhouette — the refine ladder re-polishes either way). Kept as an
+    API for memory-bound callers; the shipped renderer uses the XLA build
+    (measured faster in product — see renderer._scheduled_march NOTE)."""
+    import jax
+
+    from cudaneuralrender_tpu.ops import camera as camera_lib, march
+    from cudaneuralrender_tpu.pallas import megakernel
+    from cudaneuralrender_tpu.render import renderer
+
+    cfg = cnr.RenderConfig(width=32, height=32, scene="neural_raw",
+                           max_steps=200)
+    cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
+    c2w, _ = camera_lib.view_matrices(cam)
+    pos = jnp.asarray(renderer._block_order_np(32, 32, 16, 16))
+    st_new, res_new = megakernel.march_pallas_raygen(
+        plane1_params, c2w, pos, cfg, 0.0, tile=256,
+        march_eps=0.05, precision=jax.lax.Precision.HIGHEST,
+        interpret=True, return_resolve=True)
+
+    origin = c2w[:, 3]
+    dirs = camera_lib.ray_dirs_from_index(c2w, pos, 32, 32, cfg.focal)
+    st0 = march.init_state(origin, dirs, cfg.bound_center, cfg.bound_radius)
+    st_old, res_old = megakernel.march_pallas_state(
+        plane1_params, origin, dirs, st0, cfg, 0.0, tile=256,
+        march_eps=0.05, precision=jax.lax.Precision.HIGHEST,
+        interpret=True, return_resolve=True)
+
+    conv_agree = (np.asarray(st_new.converged) ==
+                  np.asarray(st_old.converged)).mean()
+    assert conv_agree > 0.995, conv_agree
+    both = np.asarray(st_new.converged) & np.asarray(st_old.converged)
+    np.testing.assert_allclose(
+        np.asarray(st_new.t)[both], np.asarray(st_old.t)[both], atol=1e-3)

@@ -483,3 +483,21 @@ def test_tune_caps_ineligible_paths():
     assert renderer_lib.tune_caps(
         cfg.replace(refine_caps=(8192, 8192, 8192, 8192)), acts) is None
     assert renderer_lib.tune_caps(cfg, acts[:2]) is None
+
+
+def test_interactive_packed_frame_bytes(plane1_params):
+    """The u32-packed interactive display path (quarter the device->host
+    transfer) yields byte-identical frames to the f32 path."""
+    from cudaneuralrender_tpu.utils import image_io
+
+    cnr.reset_schedule_memo()
+    cfg = cnr.RenderConfig(width=64, height=64, scene="neural_raw",
+                           max_steps=300, march_impl="staged")
+    r = cnr.Renderer(plane1_params, cfg)
+    cam = cnr.Camera(rotation_y=25.0, rotation_x=10.0)
+    packed_img = r.render_frame_interactive(cam)
+    f32_img = image_io.to_uint8_image(np.asarray(r.render_interactive(cam)))
+    np.testing.assert_array_equal(packed_img, f32_img)
+    packed = np.asarray(r.render_interactive_packed(cam))
+    assert packed.shape == (64, 64) and packed.dtype == np.uint32
+    cnr.reset_schedule_memo()
