@@ -228,6 +228,25 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         out["multigeom_count"] = len(group)
         return round(n_rays / dt, 1)
 
+    @scenario("width256_chain_ns")
+    def _():
+        # Wide-MLP regression guard (round-4 VERDICT item 5): the
+        # width-256 HIGHEST in-kernel chain floor at its VMEM-budgeted
+        # tile, measured on hardware in benchmarks/exp_width.py at
+        # 37.7 ns/lane-step. A >15% regression flags in the suite.
+        import jax
+
+        from cudaneuralrender_tpu.models import mlp as mlp_lib
+
+        sys.path.insert(0, "benchmarks")
+        import roofline
+
+        p256 = mlp_lib.init_mlp(jax.random.key(0), (3,) + (256,) * 8 + (1,))
+        r = roofline.measure_chain_rate(
+            p256, jax.lax.Precision.HIGHEST, n=2 ** 18, steps=32, tile=1024)
+        out["width256_regressed_gt_15pct"] = bool(r > 37.7 * 1.15)
+        return round(r, 2)
+
     @scenario("latency_ms_1080")
     def _():
         return _latency(params, config, reps=12)
