@@ -74,10 +74,11 @@ def main() -> int:
     sync(cnr.render_sequence(params, cameras, config))
     sync(cnr.render_sequence(params, cameras[:1], config))
     # pipelined throughput: all frames dispatched, ONE drain at the end —
-    # the serving/turntable mode (render_sequence docstring). Two passes,
-    # keep the better (tunnel jitter).
+    # the serving/turntable mode (render_sequence docstring). Three passes,
+    # keep the best (tunnel jitter is the round-over-round noise floor;
+    # each pass is ~1.4 s so the third is cheap insurance).
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         sync(cnr.render_sequence(params, cameras, config))
         times.append((time.perf_counter() - t0) / len(cameras))

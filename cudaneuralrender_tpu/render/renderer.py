@@ -1718,9 +1718,14 @@ def _sequence_finish(params, cameras, frames, queued, all_stats,
         # Adaptive rung sizing from the whole batch: tune to the per-rung
         # MAX over every frame (robust across the pose family actually
         # rendered), so the next call dispatches right-sized buckets.
+        # Margin 1.1 over the batch max: the taught poses themselves are
+        # covered by construction, and a genuinely new pose that outgrows
+        # the caps re-fits through the overflow retune at the cost of one
+        # doubled frame — cheaper in expectation than permanently carrying
+        # fatter rungs.
         _maybe_tune(
             params, orig_config, config,
-            np.max(all_stats[:, 4:], axis=0), margin=1.2,
+            np.max(all_stats[:, 4:], axis=0), margin=1.1,
         )
     return out
 

@@ -8,6 +8,16 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU-backend compile cache SEPARATE from the shared .jax_cache: that dir
+# holds XLA:CPU AOT artifacts compiled on hosts with different CPU feature
+# sets (amx/prefer-no-scatter), and loading them here warns "could lead to
+# SIGILL" — and intermittently DID segfault the suite (observed round 5 in
+# test_adaptive_caps_learned_and_parity). The env var also reaches
+# subprocess tests (multihost workers, CLI).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache_cpu")
+)
 # Tests must not read/write the cross-process schedule store (order
 # independence); the persistence test overrides this with a tmp path.
 os.environ.setdefault("CNR_SCHEDULE_MEMO", "")
@@ -24,6 +34,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
 
 # Make the repo root importable regardless of pytest invocation directory.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -69,3 +82,22 @@ def plane1_params(plane1_path):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Clear JAX's in-process executable caches after every test module.
+
+    The full suite compiles several hundred XLA:CPU programs across 8
+    virtual devices; with all of them held live, the run deterministically
+    SEGFAULTS inside an execution around the ~200-executable mark (round
+    5; crash reproduces at the same test with or without the disk cache,
+    while any half of the suite passes — a cumulative-resource failure in
+    the CPU backend, not a code bug). Dropping compiled programs between
+    modules bounds the live set; the per-host disk cache makes the few
+    cross-module recompiles cheap AOT loads.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
