@@ -256,6 +256,15 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
     def _():
         return _latency(params, config.replace(width=512, height=512), reps=12)
 
+    @scenario("latency_device_ms_1080")
+    def _():
+        return _latency_device(params, config, reps=12)
+
+    @scenario("latency_device_ms_512")
+    def _():
+        return _latency_device(
+            params, config.replace(width=512, height=512), reps=12)
+
     out["latency_note"] = (
         "single-frame latency over the remote tunnel is TRANSFER-dominated "
         "(u32 frame fetch at the tunnel's ~10-40 MB/s of the moment; device "
@@ -319,6 +328,33 @@ def _suite(params, config, cameras, w: int, h: int) -> dict:
         return round((time.perf_counter() - t0 - t_seed) / 16 * 1e3, 1)
 
     return out
+
+
+def _latency_device(params, config, reps: int = 12) -> float:
+    """Single-frame latency WITHOUT the pixel transfer: dispatch one
+    interactive frame and block on its completion (no fetch). This is the
+    weather-stable companion to latency_ms_* — it carries one tunnel RTT
+    plus the device frame time plus the lone-dispatch overhead, none of
+    which move with the tunnel's transfer bandwidth, and it is the number
+    a LOCAL viewer (PCIe-attached display host) would approximately see.
+    """
+    import jax
+
+    import cudaneuralrender_tpu as cnr
+
+    r = cnr.Renderer(params, config)
+    poses = [
+        cnr.Camera(rotation_y=25.0 + 30.0 * i, rotation_x=10.0)
+        for i in range(reps)
+    ]
+    for cam in poses[:3]:
+        jax.block_until_ready(r.render_interactive_packed(cam))
+    times = []
+    for cam in poses:
+        t0 = time.perf_counter()
+        jax.block_until_ready(r.render_interactive_packed(cam))
+        times.append(time.perf_counter() - t0)
+    return round(float(np.median(times)) * 1e3, 2)
 
 
 def _latency(params, config, reps: int = 12) -> float:

@@ -73,3 +73,36 @@ def test_random_mixed_schedules_keep_silhouette(plane1_params, seed):
     hit_a, hit_b = a[..., 3] > 0, b[..., 3] > 0
     assert (hit_a == hit_b).mean() > 0.98, "silhouette drifted"
     cnr.reset_schedule_memo()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_refine_caps_never_change_the_surface(plane1_params, seed):
+    """Adaptive rung caps obey the same contract as every schedule knob:
+    RANDOM explicit caps — hopelessly tiny, absurdly large, non-monotone
+    in provisioning — must render the same image as the divisor-default
+    mixed path for the same config, via the overflow/retune machinery
+    when the caps themselves are hopeless (round-5 feature hardening)."""
+    rng = np.random.default_rng(500 + seed)
+    base = cnr.RenderConfig(
+        width=24, height=24, scene="neural_raw", max_steps=300,
+        march_impl="staged", compact_min=int(rng.choice([4, 16, 64])),
+        adaptive_rungs=bool(rng.random() < 0.5),
+    )
+    n = base.num_rays
+    caps = []
+    prev = n
+    for _ in base.refine_schedule:
+        c = int(rng.choice([1, 8, 37, 200, n // 3, n, 4 * n]))
+        caps.append(max(1, min(c, prev)))  # non-increasing (validate-free)
+        prev = caps[-1]
+    capped = base.replace(refine_caps=tuple(caps))
+    cam = cnr.Camera(rotation_y=float(rng.uniform(0, 360)),
+                     rotation_x=float(rng.uniform(-30, 30)))
+    cnr.reset_schedule_memo()
+    a = np.asarray(cnr.render_staged(plane1_params, cam, capped))
+    cnr.reset_schedule_memo()
+    b = np.asarray(cnr.render_staged(
+        plane1_params, cam, base.replace(adaptive_rungs=False)))
+    same = np.all(a == b, axis=-1)
+    assert same.mean() >= 0.995, (caps, same.mean())
+    cnr.reset_schedule_memo()
