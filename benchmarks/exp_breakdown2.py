@@ -1,5 +1,11 @@
 """Marginal in-context cost of each staged-march piece via config ablation.
 
+*** PROTOCOL SUPERSEDED (round 5): chained identical programs are
+*** unreliable — the compiler elides value-identical links unpredictably
+*** (K=2 and K=8 chains of the same program disagreed 8x in
+*** exp_r5_verify.py despite correct per-link outputs). Use the pipelined
+*** per-piece protocol of exp_r5_pieces.py for numbers of record.
+
 Chains the REAL _scheduled_march K times in one program (defeating the
 tunnel RTT) under truncated refine schedules / toggled knobs; successive
 differences give each rung's true marginal cost including its sort and the
