@@ -1,5 +1,11 @@
 """Round-5 full-frame device-time breakdown, incl. shade + restore stages.
 
+*** PROTOCOL SUPERSEDED: this script's chained-identical-program timing
+*** proved unreliable the same day it was written (compiler elision —
+*** see exp_r5_verify.py: K=2 and K=8 chains of one program disagree
+*** 8x). Kept as the record of that discovery; numbers of record come
+*** from exp_r5_pieces.py (pipelined per-piece protocol).
+
 exp_breakdown2 ablates the MARCH only; the round-4 verdict's remaining
 gap (measured ~46 ms vs 37.7 ms roofline at 1080p) needs the whole frame
 decomposed: ray build + init, coarse kernel, refine ladder, the shade
