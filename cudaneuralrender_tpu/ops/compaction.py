@@ -81,12 +81,16 @@ def sort_pack_leaves(
 
     The TPU-fast compaction primitive: ONE variadic ``lax.sort`` keyed on
     ``~mask`` carries every per-ray array in the same pass. Measured on a
-    v5e-class chip at 2M lanes: 2.5 ms regardless of payload count (1..8),
-    vs ~10 ms for the cumsum+scatter index build (compact_indices) plus
-    3-20 ms for each XLA gather/scatter of the state leaves — dynamic
-    element addressing is the one thing this TPU generation does slowly, so
-    the sorting network (which moves data in dense vector lanes) wins by an
-    order of magnitude. See benchmarks/exp_kernels.py.
+    v5e-class chip at 2M lanes: ~5 ms for the production entry sort
+    (key + 2 payloads, unstable composite keys — round 5; the round-2
+    "2.5 ms regardless of payload" figure was an isolated 1-payload
+    measurement), vs ~10 ms for the cumsum+scatter index build
+    (compact_indices) plus 3-20 ms for each XLA gather/scatter of the
+    state leaves — dynamic element addressing is the one thing this TPU
+    generation does slowly, so the sorting network (which moves data in
+    dense vector lanes) wins by an order of magnitude. Re-confirmed three
+    times against scatters, incl. with indices_are_sorted/unique flags
+    (exp_kernels.py, exp_shade4.py, exp_r5_restore.py).
 
     To restore the original order later, include an ``arange`` position
     payload here and sort by it afterwards (``sort_restore_leaves``).
