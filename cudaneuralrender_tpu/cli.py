@@ -106,6 +106,26 @@ def main(argv=None) -> int:
         matcap = image_io.load_matcap(args.matcap)
         shading = "matcap"
 
+    num_inputs = 4 if args.animation else 3
+    from cudaneuralrender_tpu.models import mlp as mlp_lib
+
+    model_in = mlp_lib.layer_sizes(params)[0]
+    if model_in != num_inputs:
+        # Clear early error instead of an opaque dot-shape failure deep in
+        # the MLP (the reference aborts on denseLayer.cu:230's assert in
+        # the same situation). All the reference-shipped .h5s are 3-input;
+        # examples/train_animated.py trains a 4-input (x,y,z,frame) model.
+        if num_inputs == 4:
+            detail = "--animation needs a 4-input (x,y,z,frame) model"
+        else:
+            detail = "this model is 4-input — pass --animation"
+        print(
+            f"error: model {args.input!r} expects {model_in} inputs; "
+            f"{detail} (train one with examples/train_animated.py)",
+            file=sys.stderr,
+        )
+        return 2
+
     cfg = cnr.RenderConfig(
         width=args.width,
         height=args.height,
@@ -113,7 +133,7 @@ def main(argv=None) -> int:
         scene=args.scene or "neural_raw",
         shading=shading,
         normal_mode=args.normal_mode,
-        num_inputs=4 if args.animation else 3,
+        num_inputs=num_inputs,
         march_impl=args.march,
         use_pallas=args.pallas,
     ).validate()

@@ -74,6 +74,14 @@ def main() -> int:
     ckpt = f"{args.out}.npz"
     cnr.save_pytree(ckpt, params)
     print(f"saved checkpoint: {ckpt}")
+    from cudaneuralrender_tpu.models import checkpoint as ckpt_lib
+
+    ckpt_lib.save_keras_h5(f"{args.out}.h5", params)
+    print(f"saved Keras-layout checkpoint: {args.out}.h5")
+    # examples/assets/anim_demo.h5 in the repo is this file — the ONLY
+    # 4-input (x,y,z,frame) geometry in the tree (every reference-shipped
+    # .h5 is 3-input), so the CLI's --animation mode has a renderable
+    # model end-to-end (tests/test_artifact.py).
 
     # NOTE the frame normalization: the renderer feeds the raw frame number
     # (reference parity); this model was trained on frame/180 - 1, so we

@@ -108,3 +108,39 @@ def test_trained_artifact_cli(tmp_path):
     img = image_io.load_png(str(out))
     assert img.shape == (64, 64, 4)
     assert (img[..., 3] > 0).mean() > 0.05  # the shape is actually there
+
+
+ANIM_H5 = os.path.join(ASSETS, "anim_demo.h5")
+
+
+def test_animation_artifact_and_cli_mode(tmp_path):
+    """The 4-input (x,y,z,frame) trained artifact renders through the CLI's
+    --animation mode end-to-end — previously no renderable 4-input model
+    existed anywhere in the tree (every reference .h5 is 3-input), so the
+    mode was only unit-tested. Also: a 3-input model with --animation must
+    fail with the clear early error, not an opaque dot-shape crash."""
+    if not os.path.exists(ANIM_H5):
+        pytest.skip("animated artifact not present (run examples/train_animated.py)")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CNR_SCHEDULE_MEMO="")
+    out = tmp_path / "anim.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "cudaneuralrender_tpu.cli",
+         "-i", ANIM_H5, "--animation", "--single", "-W", "64", "-H", "64",
+         "--steps", "300", "-rx", "-25", "-ry", "20", "-o", str(out)],
+        cwd=os.path.join(HERE, ".."), env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    img = image_io.load_png(str(out))
+    assert (img[..., 3] > 0).mean() > 0.02
+
+    # 3-input model + --animation: friendly validation error, exit code 2.
+    r2 = subprocess.run(
+        [sys.executable, "-m", "cudaneuralrender_tpu.cli",
+         "-i", H5, "--animation", "--single", "-W", "32", "-H", "32",
+         "-o", str(tmp_path / "x.png")],
+        cwd=os.path.join(HERE, ".."), env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 2
+    assert "expects 3 inputs" in r2.stderr
